@@ -1,0 +1,132 @@
+"""Normalization column expressions: URL canonicalization and the FROZEN
+html -> (title, text) extraction.
+
+Reference analogue: fastLink's input coercion/preprocessing
+(``R/fastLink.R`` input block: ``as.character`` / lowercase / ``""→NA``)
+plus our web-page-specific normalized-URL-host blocking key demanded by
+BASELINE.json north_star.
+
+Everything here is a pure JVM-side Spark column expression (regexp /
+string built-ins — whole-stage-codegen friendly, zero Python in the hot
+path). ``extract_text_py`` / ``extract_title_py`` are the byte-identical
+pure-Python twins used for golden-hash tests (BASELINE.json input_hint:
+"extracted text stays byte-identical per url") — tests/test_normalize.py
+asserts Spark output == Python output per url.
+
+FROZEN: changing any regex here changes per-url text bytes and breaks
+the golden-hash invariant. Do not edit without regenerating goldens.
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- URL ---------------------------------------------------------------
+
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#:]+)"
+
+
+def url_host(url: Column) -> Column:
+    """Normalized host: lowercase, strip scheme, port, leading 'www.'.
+
+    This is the deterministic primary blocking key (BASELINE.json
+    north_star: "deterministic blocking on normalized URL-host").
+    """
+    host = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    return F.nullif(host, F.lit(""))
+
+
+def url_norm(url: Column) -> Column:
+    """Canonical URL for exact-agreement comparison: scheme dropped,
+    host normalized, utm_* query params stripped, trailing slash and
+    empty query removed."""
+    rest = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", "")
+    rest = F.regexp_replace(rest, r"^www\.", "")
+    # split query, drop utm params
+    path = F.regexp_extract(rest, r"^([^?#]*)", 1)
+    query = F.regexp_extract(rest, r"\?([^#]*)", 1)
+    query = F.regexp_replace(query, r"(^|&)utm_[^&]*", "")
+    query = F.regexp_replace(query, r"^&+", "")
+    path = F.regexp_replace(path, r"/+$", "")
+    full = F.concat(
+        F.lower(path), F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit(""))
+    )
+    return F.nullif(full, F.lit(""))
+
+
+# --- html -> title/text (FROZEN) ----------------------------------------
+
+# Entity set handled (frozen): the five predefined XML/HTML entities plus
+# numeric &#39;. Order matters: &amp; last so "&amp;lt;" -> "&lt;".
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
+
+
+def _unescape_col(c: Column) -> Column:
+    for ent, ch in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def html_to_title(html_bin: Column) -> Column:
+    """<title> contents, entity-unescaped, whitespace-collapsed, ''->null."""
+    s = F.decode(html_bin, "UTF-8")
+    t = F.regexp_extract(s, r"(?is)<title[^>]*>(.*?)</title>", 1)
+    t = _unescape_col(t)
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return F.nullif(t, F.lit(""))
+
+
+def html_to_text(html_bin: Column) -> Column:
+    """Frozen html->text: drop script/style/head blocks, strip tags,
+    unescape entities, collapse whitespace, trim; ''->null."""
+    s = F.decode(html_bin, "UTF-8")
+    s = F.regexp_replace(s, r"(?is)<script[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, r"(?is)<style[^>]*>.*?</style>", " ")
+    s = F.regexp_replace(s, r"(?is)<head[^>]*>.*?</head>", " ")
+    s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
+    s = _unescape_col(s)
+    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    return F.nullif(s, F.lit(""))
+
+
+def norm_string(c: Column) -> Column:
+    """fastLink-style field prep: lowercase, trim, ''->null
+    (reference: R/fastLink.R input block / vignette preprocessing)."""
+    return F.nullif(F.lower(F.trim(c)), F.lit(""))
+
+
+# --- pure-Python twins (golden-hash oracle for the frozen extraction) ---
+
+
+def _unescape_py(s: str) -> str:
+    for ent, ch in _ENTITIES:
+        s = s.replace(ent, ch)
+    return s
+
+
+def extract_title_py(html_bytes: bytes) -> str | None:
+    s = html_bytes.decode("utf-8", errors="replace")
+    m = re.search(r"(?is)<title[^>]*>(.*?)</title>", s)
+    t = m.group(1) if m else ""
+    t = _unescape_py(t)
+    t = re.sub(r"\s+", " ", t).strip()
+    return t or None
+
+
+def extract_text_py(html_bytes: bytes) -> str | None:
+    s = html_bytes.decode("utf-8", errors="replace")
+    s = re.sub(r"(?is)<script[^>]*>.*?</script>", " ", s)
+    s = re.sub(r"(?is)<style[^>]*>.*?</style>", " ", s)
+    s = re.sub(r"(?is)<head[^>]*>.*?</head>", " ", s)
+    s = re.sub(r"(?s)<[^>]*>", " ", s)
+    s = _unescape_py(s)
+    s = re.sub(r"\s+", " ", s).strip()
+    return s or None
+
+
+_ = _htmllib  # stdlib html.unescape deliberately NOT used: frozen entity set above

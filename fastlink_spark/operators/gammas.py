@@ -1,0 +1,115 @@
+"""Per-field agreement (gamma) encoders over candidate-pair rows.
+
+Reference analogues (SURVEY.md §2.8):
+  - gamma_exact    <- ``R/gammaKpar.R • gammaKpar``       (gamma in {0,2,NA})
+  - gamma_string   <- ``R/gammaCKpar.R • gammaCKpar``     ({0,1,2,NA}, JW cuts)
+                      / ``R/gammaCK2par.R`` when cut_partial is None
+  - gamma_numeric  <- ``R/gammaNUMCKpar.R • gammaNUMCKpar`` (abs-diff cuts)
+
+fastLink default cuts (``R/fastLink.R`` signature): cut.a=0.94,
+cut.p=0.88. Encoding: 2 full agree, 1 partial, 0 disagree, null = NA
+(either side missing) — MAR fields marginalize out of the EM.
+
+The JW ladder runs one vectorized pandas UDF per string field (Arrow
+batches, unique-pair factorized — functions/jw.py); exact and numeric
+gammas are pure JVM ``F.when`` ladders inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from ..functions.jw import jaro_winkler_series
+
+CUT_FULL = 0.94
+CUT_PARTIAL = 0.88
+
+
+@F.pandas_udf(DoubleType())
+def jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized Jaro-Winkler (stringdist jw, p=0.1) — SURVEY.md U1/F1."""
+    return jaro_winkler_series(a, b)
+
+
+def gamma_exact(a: Column, b: Column) -> Column:
+    """gammaKpar: 2 if equal, 0 if not, null if either side NA."""
+    return (
+        F.when(a.isNull() | b.isNull(), F.lit(None))
+        .when(a == b, F.lit(2))
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+
+
+def gamma_from_sim(sim: Column, cut_full: float = CUT_FULL, cut_partial: float | None = CUT_PARTIAL) -> Column:
+    """Similarity score -> gamma level ladder (gammaCKpar / gammaCK2par)."""
+    g = F.when(sim.isNull(), F.lit(None)).when(sim >= F.lit(cut_full), F.lit(2))
+    if cut_partial is not None:
+        g = g.when(sim >= F.lit(cut_partial), F.lit(1))
+    return g.otherwise(F.lit(0)).cast("int")
+
+
+def gamma_string(
+    a: Column, b: Column, cut_full: float = CUT_FULL, cut_partial: float | None = CUT_PARTIAL
+) -> Column:
+    """gammaCKpar: JW-based 3-level (or 2-level) string agreement."""
+    return gamma_from_sim(jw_udf(a, b), cut_full, cut_partial)
+
+
+def gamma_numeric(
+    a: Column, b: Column, cut_full: float, cut_partial: float | None = None
+) -> Column:
+    """gammaNUMCKpar: |a-b| <= cut_full -> 2; <= cut_partial -> 1; else 0."""
+    d = F.abs(a.cast("double") - b.cast("double"))
+    g = F.when(a.isNull() | b.isNull(), F.lit(None)).when(d <= F.lit(cut_full), F.lit(2))
+    if cut_partial is not None:
+        g = g.when(d <= F.lit(cut_partial), F.lit(1))
+    return g.otherwise(F.lit(0)).cast("int")
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    """One linkage field: how to compare a_<name> vs b_<name>.
+
+    kind: 'exact' | 'string' | 'string2' (no partial) | 'numeric'
+    Mirrors fastLink's varnames + stringdist.match/partial.match/
+    numeric.match argument triple (``R/fastLink.R`` signature).
+    """
+
+    name: str
+    kind: str = "string"
+    cut_full: float = CUT_FULL
+    cut_partial: float | None = CUT_PARTIAL
+
+    def gamma(self) -> Column:
+        a, b = F.col(f"a_{self.name}"), F.col(f"b_{self.name}")
+        if self.kind == "exact":
+            return gamma_exact(a, b)
+        if self.kind == "string":
+            return gamma_string(a, b, self.cut_full, self.cut_partial)
+        if self.kind == "string2":
+            return gamma_string(a, b, self.cut_full, None)
+        if self.kind == "numeric":
+            return gamma_numeric(a, b, self.cut_full, self.cut_partial)
+        raise ValueError(f"unknown field kind: {self.kind}")
+
+
+def with_gammas(pairs: DataFrame, fields: list[FieldSpec]) -> DataFrame:
+    """Append gamma_<field> columns to candidate-pair rows."""
+    out = pairs
+    for f in fields:
+        out = out.withColumn(f"gamma_{f.name}", f.gamma())
+    return out
+
+
+def pattern_counts(pairs_with_gammas: DataFrame, fields: list[FieldSpec]) -> DataFrame:
+    """tableCounts (``R/tableCounts.R``): the EM's sufficient statistic —
+    one row per distinct gamma vector with its pair count (<= 3^K + NA
+    combos; tiny). partial+final hash agg, map-side combined by Spark."""
+    gcols = [f"gamma_{f.name}" for f in fields]
+    return pairs_with_gammas.groupBy(*gcols).agg(F.count("*").alias("cnt"))

@@ -1,0 +1,259 @@
+"""End-to-end dedupe/linkage pipeline — the Spark re-expression of the
+reference's flagship entry point ``R/fastLink.R • fastLink()``
+(SURVEY.md §3.1):
+
+    read pages -> normalize (host, title, url_norm, text_hash, bands)
+    -> explode block keys (+ oversized-host refinement)
+    -> salted blocked self-join (candidate pairs)        [checkpoint]
+    -> gamma columns (pandas-UDF JW + F.when ladders)    [checkpoint]
+    -> groupBy(gamma*).count().toPandas()                [sufficient stats]
+    -> driver NumPy EM (emlinkMARmov semantics)          [em.json]
+    -> broadcast zeta join -> threshold                  [checkpoint]
+    -> large-star/small-star connected components        [checkpoint]
+    -> entities (url -> cluster)
+
+Shuffle inventory (scale notes): (a) block-key exchange into the pair
+join, (b) pair dropDuplicates, (c) gamma-pattern agg (map-side combined
+to <=3^K rows), (d) two shuffles per CC round. The EM itself moves only
+a few hundred rows to the driver. gamma scoring rides whole-stage
+codegen except the one Arrow-batched JW UDF per string field.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import em as em_mod
+from ..functions import minhash as mh
+from ..functions import normalize as nz
+from ..operators import blocking, cluster, gammas, pairs as pairs_mod
+from .checkpoint import CheckpointManager
+
+DEFAULT_FIELDS = (
+    gammas.FieldSpec("url_norm", "string"),
+    gammas.FieldSpec("title", "string"),
+    gammas.FieldSpec("text_hash", "exact"),
+)
+
+
+@dataclass
+class LinkageConfig:
+    """Pipeline knobs; defaults follow fastLink (`R/fastLink.R`):
+    threshold.match=0.85, cut.a=0.94, cut.p=0.88, p.m=0.1, tol=1e-5."""
+
+    fields: tuple[gammas.FieldSpec, ...] = DEFAULT_FIELDS
+    threshold: float = 0.85
+    p_m: float = 0.1
+    tol: float = 1e-5
+    iter_max: int = 5000
+    use_host_block: bool = True
+    use_minhash_block: bool = True
+    shingle_w: int = mh.DEFAULT_SHINGLE_W
+    bands: int = mh.DEFAULT_BANDS
+    rows_per_band: int = mh.DEFAULT_ROWS_PER_BAND
+    skew_threshold: int = pairs_mod.DEFAULT_SKEW_THRESHOLD
+    target_block: int = pairs_mod.DEFAULT_TARGET_BLOCK
+    refine_host_above: int = 50_000
+    sample_fraction: float | None = None  # emlinkRS mode: fit EM on a pair sample
+    checkpoint_dir: str | None = None
+    extra: dict = dc_field(default_factory=dict)
+
+    def token(self) -> str:
+        blob = json.dumps(
+            {
+                "fields": [(f.name, f.kind, f.cut_full, f.cut_partial) for f in self.fields],
+                "threshold": self.threshold,
+                "p_m": self.p_m,
+                "tol": self.tol,
+                "blocks": [
+                    self.use_host_block,
+                    self.use_minhash_block,
+                    self.shingle_w,
+                    self.bands,
+                    self.rows_per_band,
+                    self.skew_threshold,
+                    self.target_block,
+                    self.refine_host_above,
+                ],
+                "sample": self.sample_fraction,
+            },
+            sort_keys=True,
+        )
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+@dataclass
+class LinkageResult:
+    entities: DataFrame  # (rec_id, url, cluster_id)
+    matched_pairs: DataFrame  # (a_rec_id, b_rec_id, zeta)
+    em: em_mod.EMResult
+    pattern_counts: "object"  # pandas DataFrame (gamma_*, cnt, zeta)
+    metrics: dict
+
+
+def prepare_pages(pages: DataFrame, cfg: "LinkageConfig | None" = None) -> DataFrame:
+    """Input table (url, warc_ts, html, text, lang) -> linkage attrs +
+    block_keys. Computed in ONE stage so the checkpoint write
+    materializes the minhash band keys before any explode/join consumes
+    them (minhash.py plan-size note).
+
+    rec_id = xxhash64(url): stable under recompute (never
+    monotonically_increasing_id — SURVEY.md D3). NOTE at 10^12 scale a
+    64-bit key has non-trivial birthday collisions (~1e4 expected); a
+    production run promotes to 128-bit (e.g. two-seed xxhash64 struct)
+    and maps to dense longs for CC. 64-bit is exact at every test SF.
+    """
+    cfg = cfg or LinkageConfig()
+    prep = pages.select(
+        F.xxhash64("url").alias("rec_id"),
+        "url",
+        "warc_ts",
+        "lang",
+        nz.url_host(F.col("url")).alias("host"),
+        nz.url_norm(F.col("url")).alias("url_norm"),
+        nz.html_to_title(F.col("html")).alias("title"),
+        F.col("text"),
+        F.when(F.col("text").isNotNull(), F.xxhash64("text")).alias("text_hash"),
+    )
+    return blocking.with_block_keys(
+        prep,
+        use_host=cfg.use_host_block,
+        use_minhash=cfg.use_minhash_block,
+        shingle_w=cfg.shingle_w,
+        bands=cfg.bands,
+        rows_per_band=cfg.rows_per_band,
+    ).drop("text")
+
+
+def _blocked_records(records: DataFrame, cfg: LinkageConfig) -> DataFrame:
+    """Explode block keys (materialized by the records stage), carrying
+    only slim comparison attrs; refine oversized host blocks by the
+    first minhash band (explicit skew control for mega-hosts —
+    SURVEY.md X5 hard-part (c))."""
+    attrs = ["rec_id"] + [f.name for f in cfg.fields]
+    # try_element_at: ANSI mode (Spark 4 default) makes element_at throw
+    # on empty arrays (rows with null text have no band keys)
+    band0 = F.try_element_at(F.filter(F.col("block_keys"), lambda k: k.startswith("b0:")), F.lit(1))
+    keyed = records.withColumn("band0", band0)
+    blocked = keyed.select(
+        F.explode("block_keys").alias("block_key"), *attrs, "band0"
+    )
+    if cfg.use_host_block:
+        prof = blocked.groupBy("block_key").agg(F.count("*").alias("n"))
+        big_hosts = prof.filter(
+            F.col("block_key").startswith("h:") & (F.col("n") > cfg.refine_host_above)
+        ).select("block_key")
+        blocked = blocked.join(F.broadcast(big_hosts.withColumn("is_big", F.lit(True))), "block_key", "left")
+        blocked = blocked.withColumn(
+            "block_key",
+            F.when(
+                F.col("is_big") & F.col("band0").isNotNull(),
+                F.concat(F.col("block_key"), F.lit("|"), F.col("band0")),
+            ).otherwise(F.col("block_key")),
+        ).drop("is_big")
+    return blocked.drop("band0")
+
+
+def link_dedupe(
+    spark: SparkSession, pages: DataFrame, cfg: LinkageConfig | None = None
+) -> LinkageResult:
+    """Dedupe-mode linkage (dfA ≡ dfB branch of ``fastLink()``) over a
+    Common-Crawl-style pages table; returns entity clusters."""
+    cfg = cfg or LinkageConfig()
+    ckpt = CheckpointManager(spark, cfg.checkpoint_dir, cfg.token())
+
+    records = ckpt.stage("records", lambda: prepare_pages(pages, cfg), inputs=("pages",))
+
+    blocked = _blocked_records(records, cfg)
+    cand = ckpt.stage(
+        "candidate_pairs",
+        lambda: pairs_mod.candidate_pairs(
+            blocked,
+            skew_threshold=cfg.skew_threshold,
+            target_block=cfg.target_block,
+        ),
+        inputs=("records",),
+    )
+
+    fields = list(cfg.fields)
+    scored = ckpt.stage(
+        "pairs_gamma",
+        lambda: gammas.with_gammas(cand, fields),
+        inputs=("candidate_pairs",),
+    )
+
+    gcols = [f"gamma_{f.name}" for f in fields]
+    if cfg.sample_fraction is not None and 0 < cfg.sample_fraction < 1:
+        fit_src = scored.sample(cfg.sample_fraction, seed=42)
+    else:
+        fit_src = scored
+    fit_patterns = gammas.pattern_counts(fit_src, fields).toPandas()
+
+    em_json = ckpt.get_json("em")
+    if em_json is not None:
+        em = em_mod.EMResult.from_json(em_json)
+    else:
+        em = em_mod.emlink_mar(
+            fit_patterns, gcols, p_m=cfg.p_m, tol=cfg.tol, iter_max=cfg.iter_max
+        )
+        ckpt.put_json("em", em.to_json())
+
+    full_patterns = (
+        fit_patterns
+        if cfg.sample_fraction is None
+        else gammas.pattern_counts(scored, fields).toPandas()
+    )
+    scored_patterns = em_mod.apply_em(full_patterns, em)
+
+    import pandas as pd
+
+    zrows = [
+        tuple(None if pd.isna(r[c]) else int(r[c]) for c in gcols) + (float(r["zeta"]),)
+        for _, r in scored_patterns.iterrows()
+    ]
+    zschema = ", ".join(f"{c} int" for c in gcols) + ", zeta double"
+    zeta_df = spark.createDataFrame(zrows, zschema)
+    # null-safe broadcast join on the gamma pattern (<=3^K rows)
+    cond = None
+    for c in gcols:
+        eq = scored[c].eqNullSafe(zeta_df[c])
+        cond = eq if cond is None else (cond & eq)
+    matched = ckpt.stage(
+        "matched_pairs",
+        lambda: (
+            scored.join(F.broadcast(zeta_df), cond, "inner")
+            .where(F.col("zeta") >= cfg.threshold)
+            .select("a_rec_id", "b_rec_id", "zeta")
+        ),
+        inputs=("pairs_gamma",),
+    )
+
+    nodes = records.select("rec_id")
+    labels = ckpt.stage(
+        "clusters",
+        lambda: cluster.connected_components(
+            matched.select("a_rec_id", "b_rec_id"), nodes.withColumnRenamed("rec_id", "id")
+        ),
+        inputs=("matched_pairs",),
+    )
+
+    entities = labels.withColumnRenamed("id", "rec_id").join(
+        records.select("rec_id", "url"), "rec_id"
+    )
+
+    metrics = dict(ckpt.metrics)
+    metrics["em_iterations"] = em.iterations
+    metrics["em_converged"] = em.converged
+    metrics["em_lambda"] = em.lam
+    return LinkageResult(
+        entities=entities,
+        matched_pairs=matched,
+        em=em,
+        pattern_counts=scored_patterns,
+        metrics=metrics,
+    )

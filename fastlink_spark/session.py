@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for the linkage workload.
+
+Local-mode testing runs on ``local[N]``; the same configuration is what
+we would ship to a multi-executor cluster via ``spark-submit --py-files``
+(BASELINE.json north_rule) — nothing here is local-only except the
+master URL default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "fastlink_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with Arrow + AQE enabled.
+
+    - Arrow on: every UDF in this engine is a pandas/Arrow UDF
+      (BASELINE.json input_hint: "no per-row Python").
+    - AQE on with skew-join backstop: primary skew handling is explicit
+      salting (operators/pairs.py), AQE is the safety net (SURVEY.md X5).
+    - shuffle.partitions defaults to core count locally; on a real
+      cluster set it to 2-3x total executor cores via --conf.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if master is None:
+        master = os.environ.get("FASTLINK_SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("FASTLINK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("FASTLINK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.spill.compress", "true")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
