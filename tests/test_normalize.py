@@ -1,0 +1,90 @@
+"""T1: URL normalizer + FROZEN html->text extraction golden invariant.
+
+BASELINE.json input_hint: "extracted text stays byte-identical per url"
+— asserted two ways: (a) Spark column extraction == pure-Python twin,
+(b) extraction inverts the fixture generator's html template exactly.
+"""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from fastlink_spark.functions.normalize import (
+    extract_text_py,
+    extract_title_py,
+    html_to_text,
+    html_to_title,
+    url_host,
+    url_norm,
+)
+from fastlink_spark.sources.fixtures import generate_pages
+
+CASES = [
+    b"<html><head><title>Hello  World</title></head><body>some text here</body></html>",
+    b"<html><head><title></title></head><body></body></html>",
+    b"<html><head><title>a &amp; b &lt;c&gt;</title></head><body>x &amp; y</body></html>",
+    b"<html><head><title>T</title><style>p{color:red}</style></head><body><script>var x=1;</script><p>para one</p>\n<p>two</p></body></html>",
+    "<html><head><title>unicodé</title></head><body>café text</body></html>".encode(),
+]
+
+
+def test_spark_matches_python_twin(spark):
+    df = spark.createDataFrame([(c,) for c in CASES], "html binary")
+    got = df.select(
+        html_to_title(F.col("html")).alias("t"), html_to_text(F.col("html")).alias("x")
+    ).collect()
+    for c, row in zip(CASES, got):
+        assert row["t"] == extract_title_py(c)
+        assert row["x"] == extract_text_py(c)
+
+
+def test_fixture_text_byte_identical(spark):
+    fx = generate_pages(n_base=60)
+    df = spark.createDataFrame(fx.pages)
+    out = df.select(
+        "url", "text", html_to_text(F.col("html")).alias("extracted")
+    ).collect()
+    assert len(out) > 100
+    for r in out:
+        assert r["extracted"] == r["text"], r["url"]
+        if r["text"] is not None:
+            # sha256 golden identity per url
+            assert (
+                hashlib.sha256(r["extracted"].encode()).hexdigest()
+                == hashlib.sha256(r["text"].encode()).hexdigest()
+            )
+
+
+def test_url_normalization(spark):
+    urls = [
+        ("https://www.Example.com/a/b/", "example.com", "example.com/a/b"),
+        ("http://example.com/a/b?utm_source=x", "example.com", "example.com/a/b"),
+        ("https://example.com:8080/a", "example.com", None),  # port: host strips it
+        ("https://www.example.com/a?id=3&utm_c=z", "example.com", "example.com/a?id=3"),
+        ("not a url", None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in urls], "url string")
+    got = df.select(url_host(F.col("url")).alias("h"), url_norm(F.col("url")).alias("n")).collect()
+    assert got[0]["h"] == "example.com" and got[0]["n"] == "example.com/a/b"
+    assert got[1]["h"] == "example.com" and got[1]["n"] == "example.com/a/b"
+    assert got[2]["h"] == "example.com"
+    assert got[3]["n"] == "example.com/a?id=3"
+    assert got[4]["h"] is None
+
+
+def test_variant_urls_normalize_together():
+    # the four fixture url-variant transforms must collapse under url_norm
+    from fastlink_spark.session import get_spark
+
+    spark = get_spark()
+    base = "https://www.host7.example.com/some-slug-12"
+    variants = [
+        base,
+        base.replace("https://", "http://"),
+        base.replace("://www.", "://"),
+        base + "/",
+        base + "?utm_source=v1",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    norms = {r[0] for r in df.select(url_norm(F.col("url"))).collect()}
+    assert len(norms) == 1
