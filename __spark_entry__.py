@@ -1,38 +1,467 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship dedupe pipeline (SURVEY.md §3.1) on
+sf0.001 documents rendered as Common-Crawl-style pages. ``queries()``
+exposes each implemented operator from SURVEY.md §2 (+ the mandated
+training-data ops) as a (spark, sf_dir) callable; ``oracle_sql()``
+gives the DuckDB-equivalent SQL where the op is SQL-expressible
+(JW-scored and hash-based ops are rows-only by design — xxhash64 and
+stringdist-JW have no DuckDB twin; DuckDB's jaro_winkler counts
+transpositions differently, verified in tests/test_jw.py).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_as_pages(docs: DataFrame) -> DataFrame:
+    """Render the documents table in the BASELINE.json input_hint shape
+    (url, warc_ts, html, text, lang)."""
+    title = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5))
+    return docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"), F.col("doc_id")).alias("url"),
+        F.to_timestamp(F.lit("2026-07-01 00:00:00")).alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>"), title, F.lit("</title></head><body>"),
+                F.col("text"), F.lit("</body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full Fellegi-Sunter dedupe of sf0.001 documents-as-pages
+    -> (rec_id, url, cluster_id)."""
+    from fastlink_spark.plans.pipeline import LinkageConfig, link_dedupe
+
+    pages = _docs_as_pages(_docs(spark, SF_SMALL))
+    res = link_dedupe(spark, pages, LinkageConfig())
+    return res.entities.select("rec_id", "url", "cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# helpers shared by queries
+# ---------------------------------------------------------------------------
+
+def _doc_pairs_by_source(spark: SparkSession, sf_dir: str, force_salting: bool) -> DataFrame:
+    """Candidate pairs over documents blocked by source via the salted
+    triangle self-join (SURVEY.md J3/J7/X5)."""
+    from fastlink_spark.operators.pairs import candidate_pairs
+
+    blocked = _docs(spark, sf_dir).select(
+        F.concat(F.lit("s:"), F.col("source")).alias("block_key"),
+        F.col("doc_id").alias("rec_id"),
+        "lang",
+        "n_chars",
+    )
+    return candidate_pairs(
+        blocked,
+        skew_threshold=5 if force_salting else 100_000,
+        target_block=5 if force_salting else 100_000,
+    )
+
+
+_TOK_RE = r"[^a-z0-9]+"
+
+
+def _toks(c) -> F.Column:
+    return F.filter(F.split(F.lower(F.coalesce(c, F.lit(""))), _TOK_RE), lambda t: t != "")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q01_block_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastlink_spark.operators.blocking import block_profile
+
+    blocked = _docs(spark, sf_dir).select(
+        F.concat(F.lit("s:"), F.col("source")).alias("block_key"), F.col("doc_id")
+    )
+    return block_profile(blocked)
+
+
+def q02_candidate_pairs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle-salted self-join must emit EXACTLY the unsalted pair set."""
+    return _doc_pairs_by_source(spark, sf_dir, force_salting=True).select(
+        F.col("a_rec_id").alias("id_a"), F.col("b_rec_id").alias("id_b")
+    )
+
+
+def q03_gamma_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gammaKpar (exact lang) + gammaNUMCKpar (n_chars bands) pattern
+    counts — the EM sufficient statistic (R/tableCounts.R)."""
+    from fastlink_spark.operators.gammas import FieldSpec, pattern_counts, with_gammas
+
+    pairs = _doc_pairs_by_source(spark, sf_dir, force_salting=False)
+    fields = [FieldSpec("lang", "exact"), FieldSpec("n_chars", "numeric", 10.0, 50.0)]
+    return pattern_counts(with_gammas(pairs, fields), fields)
+
+
+def q04_winner_take_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedupeMatches greedy winner-take-all (R/dedupeMatches.R, W1)."""
+    pairs = _doc_pairs_by_source(spark, sf_dir, force_salting=False).withColumn(
+        "diff", F.abs(F.col("a_n_chars") - F.col("b_n_chars")).cast("long")
+    )
+    w = Window.partitionBy("a_rec_id").orderBy(F.asc("diff"), F.asc("b_rec_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("a_rec_id").alias("id_a"), F.col("b_rec_id").alias("id_b"), "diff")
+    )
+
+
+def q05_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q06_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rev = o.groupBy("o_custkey").agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("revenue")
+    )
+    return (
+        rev.join(c, rev["o_custkey"] == c["c_custkey"])
+        .select("c_custkey", "c_name", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def q07_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric band join (gammaNUMCKpar idiom, SURVEY.md J4): bucket +
+    neighbor-explode + exact verify; counts pairs per user."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "user_id", "value")
+    width = 5.0
+    left = e.withColumn(
+        "probe", F.explode(F.array(*[F.floor(F.col("value") / width) + F.lit(d) for d in (-1, 0, 1)]))
+    )
+    right = (
+        e.withColumn("bucket", F.floor(F.col("value") / width))
+        .select(
+            F.col("bucket"),
+            F.col("user_id").alias("user_id_b"),
+            F.col("event_id").alias("event_id_b"),
+            F.col("value").alias("value_b"),
+        )
+    )
+    pairs = left.join(
+        right,
+        (left["probe"] == right["bucket"])
+        & (left["user_id"] == right["user_id_b"])
+        & (left["event_id"] < right["event_id_b"]),
+    ).where(F.abs(F.col("value") - F.col("value_b")) <= width)
+    return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
+
+
+def q08_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session counting with a 30-min gap rule (window/lag op family)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+    return (
+        e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").cast("long").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+def q09_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedupe by 8-token prefix fingerprint (hash-groupBy dedup)."""
+    d = _docs(spark, sf_dir)
+    fp = F.concat_ws(" ", F.slice(_toks(F.col("text")), 1, 8))
+    return (
+        d.select(fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_dups"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def q10_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard verification of same-source candidate pairs
+    (integer set sizes => exact oracle comparison)."""
+    from fastlink_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = _doc_pairs_by_source(spark, sf_dir, force_salting=False).select(
+        F.col("a_rec_id").alias("id_a"), F.col("b_rec_id").alias("id_b")
+    )
+    out = ngram_jaccard_pairs(pairs, docs, "doc_id", "text", n=3)
+    return out.where(F.col("n_inter") > 0).select("id_a", "id_b", "n_inter", "n_union")
+
+
+def q11_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 ANN baseline for query vectors vec_id<20."""
+    from fastlink_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    queries = emb.where(F.col("vec_id") < 20)
+    out = brute_force_topk(emb, queries, "vec_id", "vec", k=5)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+def q12_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastlink_spark.functions.textmeta import quality_features
+
+    d = _docs(spark, sf_dir)
+    feats = quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars_m"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["stopword_ratio_x10000"].alias("stop_ratio_x10000"),
+    )
+
+
+def q13_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastlink_spark.functions.textmeta import langid, langid_scores
+
+    d = _docs(spark, sf_dir)
+    s = langid_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        s["en"].cast("long").alias("en_hits"),
+        s["de"].cast("long").alias("de_hits"),
+        s["fr"].cast("long").alias("fr_hits"),
+        langid(F.col("text")).alias("lang_pred"),
+    )
+
+
+def q14_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastlink_spark.functions.textmeta import bpe_ish_token_count, token_count
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+    )
+
+
+# --- rows-only queries (hash/JW-based: no DuckDB twin by design) ----------
+
+def q15_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastlink_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q16_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastlink_spark.operators.dedup import simhash_pairs_multi
+
+    return simhash_pairs_multi(_docs(spark, sf_dir), "doc_id", "text", max_hamming=16)
+
+
+def q17_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mini end-to-end EM fit on documents-as-pages; returns per-field
+    per-level EM parameters (driver NumPy emlinkMARmov)."""
+    from fastlink_spark.plans.pipeline import LinkageConfig, link_dedupe
+
+    pages = _docs_as_pages(_docs(spark, sf_dir))
+    res = link_dedupe(spark, pages, LinkageConfig())
+    rows = []
+    for c in res.em.gamma_cols:
+        for li, lv in enumerate(res.em.levels[c]):
+            rows.append(
+                (c, int(lv), float(round(res.em.m[c][li], 6)), float(round(res.em.u[c][li], 6)))
+            )
+    return spark.createDataFrame(rows, "field string, level int, m double, u double")
+
+
+def q18_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastlink_spark.functions.textmeta import rolling_fingerprints
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", F.size(rolling_fingerprints(F.col("text"))).cast("long").alias("n_fingerprints")
+    )
+
+
+def q19_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastlink_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    queries = emb.where(F.col("vec_id") < 20)
+    return ivf_topk(emb, queries, "vec_id", "vec", k=5, n_cells=16, n_probe=4)
+
+
+def q20_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """large-star/small-star CC over 3-gram-similar doc pairs."""
+    from fastlink_spark.operators.cluster import connected_components
+    from fastlink_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    cand = minhash_lsh_pairs(docs, "doc_id", "text")
+    edges = ngram_jaccard_pairs(cand, docs, "doc_id", "text", n=3, min_jaccard=0.3).select(
+        "id_a", "id_b"
+    )
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    return connected_components(edges, nodes)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_block_profile": q01_block_profile,
+        "q02_candidate_pairs_salted": q02_candidate_pairs_salted,
+        "q03_gamma_patterns": q03_gamma_patterns,
+        "q04_winner_take_all": q04_winner_take_all,
+        "q05_pricing_summary": q05_pricing_summary,
+        "q06_top_customers": q06_top_customers,
+        "q07_band_join": q07_band_join,
+        "q08_sessionization": q08_sessionization,
+        "q09_exact_dup_groups": q09_exact_dup_groups,
+        "q10_ngram_jaccard": q10_ngram_jaccard,
+        "q11_embedding_topk": q11_embedding_topk,
+        "q12_quality_features": q12_quality_features,
+        "q13_langid": q13_langid,
+        "q14_token_counts": q14_token_counts,
+        "q15_minhash_candidates": q15_minhash_candidates,
+        "q16_simhash_pairs": q16_simhash_pairs,
+        "q17_linkage_em": q17_linkage_em,
+        "q18_fingerprints": q18_fingerprints,
+        "q19_ivf_topk": q19_ivf_topk,
+        "q20_connected_components": q20_connected_components,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_SQL_TOKS = (
+    "list_filter(regexp_split_to_array(lower(coalesce({c}, '')), '[^a-z0-9]+'), x -> x <> '')"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = _SQL_TOKS.format(c="text")
+    en = "['the','of','and','to','a','in','is','it','for','on']"
+    de = "['der','die','das','und','zu','ein','ist','nicht','mit','von']"
+    fr = "['le','la','les','de','et','un','une','est','pour','dans']"
+    return {
+        "q01_block_profile": (
+            "SELECT 's:' || source AS block_key, count(*) AS n FROM documents GROUP BY 1"
+        ),
+        "q02_candidate_pairs_salted": (
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a "
+            "JOIN documents b ON a.source = b.source AND a.doc_id < b.doc_id"
+        ),
+        "q03_gamma_patterns": (
+            "WITH p AS (SELECT a.lang AS la, b.lang AS lb, a.n_chars AS na, b.n_chars AS nb "
+            " FROM documents a JOIN documents b ON a.source = b.source AND a.doc_id < b.doc_id) "
+            "SELECT CASE WHEN la IS NULL OR lb IS NULL THEN NULL WHEN la = lb THEN 2 ELSE 0 END AS gamma_lang, "
+            " CASE WHEN na IS NULL OR nb IS NULL THEN NULL WHEN abs(na - nb) <= 10 THEN 2 "
+            "      WHEN abs(na - nb) <= 50 THEN 1 ELSE 0 END AS gamma_n_chars, "
+            " count(*) AS cnt FROM p GROUP BY 1, 2"
+        ),
+        "q04_winner_take_all": (
+            "WITH p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, abs(a.n_chars - b.n_chars) AS diff "
+            " FROM documents a JOIN documents b ON a.source = b.source AND a.doc_id < b.doc_id), "
+            "r AS (SELECT id_a, id_b, diff, row_number() OVER (PARTITION BY id_a ORDER BY diff ASC, id_b ASC) AS rn FROM p) "
+            "SELECT id_a, id_b, diff FROM r WHERE rn = 1"
+        ),
+        "q05_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            " round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty, "
+            " round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price, "
+            " count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' GROUP BY 1, 2"
+        ),
+        "q06_top_customers": (
+            "WITH rev AS (SELECT o_custkey, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue "
+            " FROM orders GROUP BY 1) "
+            "SELECT c_custkey, c_name, revenue FROM rev JOIN customer ON o_custkey = c_custkey "
+            "ORDER BY revenue DESC, c_custkey ASC LIMIT 10"
+        ),
+        "q07_band_join": (
+            "SELECT a.user_id AS user_id, count(*) AS n_pairs FROM events a JOIN events b "
+            "ON a.user_id = b.user_id AND a.event_id < b.event_id AND abs(a.value - b.value) <= 5 "
+            "GROUP BY 1"
+        ),
+        "q08_sessionization": (
+            "WITH g AS (SELECT user_id, event_id, "
+            " CAST(epoch(ts) AS BIGINT) - lag(CAST(epoch(ts) AS BIGINT)) OVER "
+            "   (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap FROM events) "
+            "SELECT user_id, CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions, "
+            " count(*) AS n_events FROM g GROUP BY 1"
+        ),
+        "q09_exact_dup_groups": (
+            f"WITH t AS (SELECT array_to_string(({toks})[1:8], ' ') AS fp FROM documents) "
+            "SELECT fp, count(*) AS n_dups FROM t GROUP BY 1 HAVING count(*) > 1"
+        ),
+        "q10_ngram_jaccard": (
+            f"WITH tk AS (SELECT doc_id, {toks} AS t FROM documents), "
+            "g AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1), "
+            "      i -> array_to_string(t[i+1:i+3], ' '))) AS grams FROM tk), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a "
+            "      JOIN documents b ON a.source = b.source AND a.doc_id < b.doc_id) "
+            "SELECT p.id_a, p.id_b, "
+            " CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS n_inter, "
+            " CAST(len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS n_union "
+            "FROM p JOIN g ga ON ga.doc_id = p.id_a JOIN g gb ON gb.doc_id = p.id_b "
+            "WHERE len(list_intersect(ga.grams, gb.grams)) > 0"
+        ),
+        "q11_embedding_topk": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "q AS (SELECT * FROM e WHERE vec_id < 20), "
+            "s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+            "  list_cosine_similarity(q.v, e.v) AS cosine FROM q JOIN e ON q.vec_id <> e.vec_id), "
+            "r AS (SELECT query_id, neighbor_id, row_number() OVER "
+            "  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s) "
+            "SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5"
+        ),
+        "q12_quality_features": (
+            f"WITH tk AS (SELECT doc_id, text, {toks} AS t FROM documents), "
+            "b AS (SELECT doc_id, CAST(length(coalesce(text,'')) AS BIGINT) AS n_chars_m, "
+            " CAST(len(t) AS BIGINT) AS n_tokens, "
+            f" CAST(len(list_filter(t, x -> list_contains({en}, x))) AS BIGINT) AS n_stop FROM tk) "
+            "SELECT doc_id, n_chars_m, n_tokens, "
+            " CASE WHEN n_tokens > 0 THEN CAST(floor(n_stop * 10000 / n_tokens) AS BIGINT) ELSE 0 END AS stop_ratio_x10000 "
+            "FROM b"
+        ),
+        "q13_langid": (
+            f"WITH tk AS (SELECT doc_id, {toks} AS t FROM documents), "
+            "s AS (SELECT doc_id, "
+            f" CAST(len(list_filter(t, x -> list_contains({en}, x))) AS BIGINT) AS en_hits, "
+            f" CAST(len(list_filter(t, x -> list_contains({de}, x))) AS BIGINT) AS de_hits, "
+            f" CAST(len(list_filter(t, x -> list_contains({fr}, x))) AS BIGINT) AS fr_hits FROM tk) "
+            "SELECT doc_id, en_hits, de_hits, fr_hits, "
+            " CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en' "
+            "      WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de' "
+            "      WHEN fr_hits > 0 THEN 'fr' ELSE 'und' END AS lang_pred FROM s"
+        ),
+        "q14_token_counts": (
+            f"WITH tk AS (SELECT doc_id, {toks} AS t FROM documents) "
+            "SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, "
+            " CAST(coalesce(list_sum(list_transform(t, x -> greatest(CAST(floor((length(x) + 3) / 4) AS BIGINT), 1))), 0) AS BIGINT) AS n_bpe "
+            "FROM tk"
+        ),
+        # q15..q20: hash/JW/EM/CC-based — deliberately no SQL oracle
+        # (rows-only check); see module docstring.
+    }

@@ -79,6 +79,7 @@ def candidate_pairs(
     left = rows.join(F.broadcast(combos), ["s_cnt"], "inner").where(F.col("salt") == F.col("sa"))
     a = left.select(
         F.col("block_key").alias("a_bk"),
+        "sa",
         "sb",
         *[F.col(c).alias(f"a_{c}") for c in attr_cols],
     )
@@ -87,15 +88,35 @@ def candidate_pairs(
         F.col("salt").alias("b_salt"),
         *[F.col(c).alias(f"b_{c}") for c in attr_cols],
     )
+    # Oriented triangle: each unordered pair is produced exactly once —
+    # via its (min_salt -> left, max_salt -> right) orientation, or by
+    # id order on the diagonal (equal salts). The id inequality must NOT
+    # be applied to off-diagonal combos (salt order is independent of id
+    # order; filtering by both silently drops ~half the cross-salt
+    # pairs — caught by the q02 salted-vs-unsalted DuckDB oracle).
     pairs = a.join(
         b,
         on=[
             F.col("a_bk") == F.col("b_bk"),
             F.col("sb") == F.col("b_salt"),
-            F.col(f"a_{id_col}") < F.col(f"b_{id_col}"),
+            (F.col("sa") < F.col("sb"))
+            | ((F.col("sa") == F.col("sb")) & (F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))),
         ],
         how="inner",
-    ).drop("sb", "b_salt", "a_bk", "b_bk")
+    ).drop("sa", "sb", "b_salt", "a_bk", "b_bk")
+
+    # canonicalize to id_a < id_b (swap whole attr sets where needed)
+    swap = F.col(f"a_{id_col}") > F.col(f"b_{id_col}")
+    pairs = pairs.select(
+        *[
+            F.when(swap, F.col(f"b_{c}")).otherwise(F.col(f"a_{c}")).alias(f"a_{c}")
+            for c in attr_cols
+        ],
+        *[
+            F.when(swap, F.col(f"a_{c}")).otherwise(F.col(f"b_{c}")).alias(f"b_{c}")
+            for c in attr_cols
+        ],
+    )
 
     if dedupe_pairs:
         pairs = pairs.dropDuplicates([f"a_{id_col}", f"b_{id_col}"])
