@@ -1,0 +1,133 @@
+"""Headline benchmark — prints ONE JSON line:
+{"metric": "candidate_pairs_scored_per_sec", "value": N, "unit": "pairs/sec",
+ "queries": {name: seconds, ...}, "sf": ..., ...}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  BENCH_PAGES_NBASE    pages-fixture base size for the linkage workload
+                       (default 4000 -> ~12k pages)
+
+The headline metric is the gamma-scoring throughput (vectorized JW +
+exact ladders over blocked candidate pairs) — BASELINE.json:2. Per-query
+walls cover the flagship pipeline and the operator battery at the sf
+dir. BENCH/run.py runs this at local[8] vs local[32] for the N->4N
+scaling-efficiency gate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_base = int(os.environ.get("BENCH_PAGES_NBASE", "4000"))
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from fastlink_spark.operators import gammas
+    from fastlink_spark.plans.pipeline import LinkageConfig, link_dedupe, prepare_pages, _blocked_records
+    from fastlink_spark.operators.pairs import candidate_pairs
+    from fastlink_spark.session import get_spark
+    from fastlink_spark.sources.fixtures import generate_pages
+
+    spark = get_spark(
+        app_name="fastlink_bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+
+    queries: dict[str, float] = {}
+    t0_all = time.time()
+
+    # --- linkage workload on the scaled pages fixture -------------------
+    t = time.time()
+    fx = generate_pages(n_base=n_base)
+    pages = spark.createDataFrame(fx.pages).repartition(cpus).localCheckpoint(eager=True)
+    queries["fixture_gen"] = round(time.time() - t, 3)
+
+    cfg = LinkageConfig()
+
+    # warm-up (discarded, BASELINE.md protocol): compiles the whole-stage
+    # codegen for the minhash/regex expressions and spins up the Python
+    # UDF workers so the timed stages measure steady-state throughput
+    warm = pages.limit(400).localCheckpoint(eager=True)
+    warm_rec = prepare_pages(warm, cfg).localCheckpoint(eager=True)
+    warm_cand = candidate_pairs(_blocked_records(warm_rec, cfg)).localCheckpoint(eager=True)
+    gammas.pattern_counts(
+        gammas.with_gammas(warm_cand, list(cfg.fields)), list(cfg.fields)
+    ).collect()
+
+    t = time.time()
+    records = prepare_pages(pages, cfg).localCheckpoint(eager=True)
+    n_records = records.count()
+    queries["normalize_block_keys"] = round(time.time() - t, 3)
+
+    t = time.time()
+    cand = (
+        candidate_pairs(
+            _blocked_records(records, cfg),
+            skew_threshold=cfg.skew_threshold,
+            target_block=cfg.target_block,
+        )
+        # 4x cores: smooth per-partition JW-content skew into the
+        # UDF stage (task tail dominates otherwise)
+        .repartition(cpus * 4)
+        .localCheckpoint(eager=True)
+    )
+    n_pairs = cand.count()
+    queries["candidate_pairs"] = round(time.time() - t, 3)
+
+    fields = list(cfg.fields)
+    gamma_wall = float("inf")
+    for _rep in range(2):  # best-of-2: damp cloud-VM noise on the headline
+        t = time.time()
+        gammas.pattern_counts(gammas.with_gammas(cand, fields), fields).collect()
+        gamma_wall = min(gamma_wall, time.time() - t)
+    queries["gamma_scoring"] = round(gamma_wall, 3)
+    pairs_per_sec = n_pairs / gamma_wall if gamma_wall > 0 else 0.0
+
+    t = time.time()
+    res = link_dedupe(spark, pages, cfg)
+    res.entities.count()
+    queries["pipeline_e2e"] = round(time.time() - t, 3)
+
+    # --- operator battery at the sf dir ---------------------------------
+    battery = [
+        "q05_pricing_summary",
+        "q07_band_join",
+        "q08_sessionization",
+        "q10_ngram_jaccard",
+        "q11_embedding_topk",
+        "q15_minhash_candidates",
+        "q16_simhash_pairs",
+        "q20_connected_components",
+    ]
+    qmap = entry_mod.queries()
+    for name in battery:
+        t = time.time()
+        qmap[name](spark, sf_dir).count()
+        queries[name] = round(time.time() - t, 3)
+
+    out = {
+        "metric": "candidate_pairs_scored_per_sec",
+        "value": round(pairs_per_sec, 1),
+        "unit": "pairs/sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "n_pages": n_records,
+        "n_candidate_pairs": n_pairs,
+        "total_sec": round(time.time() - t0_all, 3),
+    }
+    _ = F  # imported for side effects in doctests; keep linters calm
+    print(json.dumps(out))
+    sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

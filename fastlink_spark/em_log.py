@@ -1,0 +1,144 @@
+"""emlinklog — EM with log-linear (two-way interaction) class models.
+
+Reference: ``R/emlinklog.R • emlinklog()`` (the ``cond.indep=FALSE``
+path of ``fastLink()``): relaxes emlinkMARmov's conditional-independence
+assumption by letting each class distribution P(gamma | class) carry
+two-way field interactions. Driver-side NumPy over the tiny pattern
+table, like em.py (SURVEY.md G7).
+
+Implementation: classic EM over the complete-pattern grid.
+  - E-step: zeta per OBSERVED pattern; MAR nulls marginalize (class
+    likelihood = sum of the class joint over grid cells consistent with
+    the observed pattern).
+  - M-step: expected complete-data counts per grid cell (missing fields
+    distributed proportionally to the current class joint), then the
+    class joint is re-fit as a 2-way log-linear model via IPF (iterative
+    proportional fitting over all pairwise margins) — the log-linear
+    structure that distinguishes emlinklog from the saturated /
+    independent alternatives.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+
+_EPS = 1e-12
+
+
+def _ipf_two_way(target: np.ndarray, shape: tuple[int, ...], iters: int = 25) -> np.ndarray:
+    """Fit a 2-way log-linear distribution to `target` (joint over the
+    grid, reshaped to `shape`) by IPF over all pairwise margins."""
+    t = target.reshape(shape)
+    q = np.full(shape, 1.0 / t.size)
+    K = len(shape)
+    if K == 1:
+        s = t.sum()
+        return (t / s if s > 0 else np.full(shape, 1.0 / t.size)).reshape(-1)
+    pairs = list(itertools.combinations(range(K), 2))
+    for _ in range(iters):
+        for (i, j) in pairs:
+            axes = tuple(a for a in range(K) if a not in (i, j))
+            tm = t.sum(axis=axes) if axes else t
+            qm = q.sum(axis=axes) if axes else q
+            ratio = np.where(qm > _EPS, tm / np.maximum(qm, _EPS), 0.0)
+            expand = [slice(None) if a in (i, j) else None for a in range(K)]
+            # build broadcastable ratio
+            r = ratio
+            for a in range(K):
+                if a not in (i, j):
+                    r = np.expand_dims(r, axis=a)
+            q = q * r
+            s = q.sum()
+            if s > 0:
+                q = q / s
+    return q.reshape(-1)
+
+
+def emlink_log(
+    patterns: pd.DataFrame,
+    gamma_cols: list[str],
+    *,
+    p_m: float = 0.1,
+    tol: float = 1e-5,
+    iter_max: int = 200,
+    ipf_iters: int = 20,
+) -> pd.DataFrame:
+    """Fit the interaction EM; returns the observed pattern table with
+    'zeta' plus attrs (lam, iterations, converged) in ``.attrs``."""
+    patt = patterns.copy()
+    for c in gamma_cols:
+        patt[c] = patt[c].astype(object).where(pd.notna(patt[c]), None)
+        patt[c] = [None if v is None else int(v) for v in patt[c]]
+    n = patt["cnt"].to_numpy(dtype=np.float64)
+    N = n.sum()
+
+    levels = {c: sorted({v for v in patt[c] if v is not None}) or [0] for c in gamma_cols}
+    shape = tuple(len(levels[c]) for c in gamma_cols)
+    grid = np.array(list(itertools.product(*[range(s) for s in shape])))  # level indices
+    G = len(grid)
+
+    # consistency matrix: obs pattern row -> bool mask over grid cells
+    masks = np.ones((len(patt), G), dtype=bool)
+    for k, c in enumerate(gamma_cols):
+        lv_index = {lv: i for i, lv in enumerate(levels[c])}
+        col = patt[c]
+        for r, v in enumerate(col):
+            if v is not None:
+                masks[r] &= grid[:, k] == lv_index[v]
+
+    # init: independent distributions (same as emlinkMARmov init)
+    pm_joint = np.ones(G)
+    pu_joint = np.ones(G)
+    for k, c in enumerate(gamma_cols):
+        L = shape[k]
+        m1 = np.array([0.15 / max(L - 1, 1)] * (L - 1) + [0.85]) if L > 1 else np.array([1.0])
+        u1 = np.ones(L) / L
+        pm_joint *= m1[grid[:, k]]
+        pu_joint *= u1[grid[:, k]]
+    pm_joint /= pm_joint.sum()
+    pu_joint /= pu_joint.sum()
+
+    lam = p_m
+    converged = False
+    it = 0
+    for it in range(1, iter_max + 1):
+        fm = masks @ pm_joint
+        fu = masks @ pu_joint
+        wm = lam * fm
+        wu = (1 - lam) * fu
+        zeta = wm / np.maximum(wm + wu, _EPS)
+
+        new_lam = float((n * zeta).sum() / N)
+        # expected complete-data counts per grid cell, per class
+        # (distribute each observed row over its consistent cells
+        # proportionally to the current class joint)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            wcell_m = (masks * pm_joint).T
+            wcell_m = wcell_m / np.maximum(wcell_m.sum(axis=0), _EPS)
+            wcell_u = (masks * pu_joint).T
+            wcell_u = wcell_u / np.maximum(wcell_u.sum(axis=0), _EPS)
+        tgt_m = wcell_m @ (n * zeta)
+        tgt_u = wcell_u @ (n * (1 - zeta))
+        new_pm = _ipf_two_way(np.maximum(tgt_m, _EPS), shape, ipf_iters)
+        new_pu = _ipf_two_way(np.maximum(tgt_u, _EPS), shape, ipf_iters)
+
+        delta = max(
+            abs(new_lam - lam),
+            float(np.max(np.abs(new_pm - pm_joint))),
+            float(np.max(np.abs(new_pu - pu_joint))),
+        )
+        lam, pm_joint, pu_joint = new_lam, new_pm, new_pu
+        if delta < tol:
+            converged = True
+            break
+
+    fm = masks @ pm_joint
+    fu = masks @ pu_joint
+    patt["zeta"] = (lam * fm) / np.maximum(lam * fm + (1 - lam) * fu, _EPS)
+    patt.attrs["lam"] = lam
+    patt.attrs["iterations"] = it
+    patt.attrs["converged"] = converged
+    return patt

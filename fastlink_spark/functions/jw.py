@@ -60,6 +60,10 @@ def jaro_winkler_np(
     """Jaro(-Winkler) similarity for two equal-length object arrays of str.
 
     Vectorized across pairs; Python loop only over char positions.
+    Memory-bandwidth optimized (the kernel is DRAM-bound at high core
+    counts): rows are BUCKETED by max(len) so temporaries are sized to
+    the bucket, and codepoints are downcast to uint8 when the bucket is
+    pure-ASCII (4x less traffic than uint32).
     """
     n = len(a)
     out = np.zeros(n, dtype=np.float64)
@@ -68,9 +72,141 @@ def jaro_winkler_np(
 
     a_codes, a_len = _codes(a, max_len)
     b_codes, b_len = _codes(b, max_len)
-    La = a_codes.shape[1]
-    Lb = b_codes.shape[1]
 
+    w = np.maximum(a_len, b_len)
+    buckets = [0, 8, 16, 24, 32, 48, 64, 96, max_len]
+    lo = 0
+    for hi in buckets[1:]:
+        sel = (w > lo) | ((w == 0) & (lo == 0)) if lo == 0 else (w > lo)
+        sel &= w <= hi
+        lo = hi
+        if not sel.any():
+            continue
+        idx = np.nonzero(sel)[0]
+        La = max(int(a_len[idx].max()), 1)
+        Lb = max(int(b_len[idx].max()), 1)
+        ac = a_codes[idx][:, :La]
+        bc = b_codes[idx][:, :Lb]
+        ascii_ok = ac.max(initial=0) < 256 and bc.max(initial=0) < 256
+        if ascii_ok:
+            ac = ac.astype(np.uint8)
+            bc = bc.astype(np.uint8)
+        if ascii_ok and Lb <= 64 and La <= 64:
+            out[idx] = _jaro_core_bitparallel(ac, a_len[idx], bc, b_len[idx], winkler)
+        else:
+            out[idx] = _jaro_core(ac, a_len[idx], bc, b_len[idx], winkler)
+    return out
+
+
+_PREFIX_MASKS = np.array([(1 << i) - 1 for i in range(65)], dtype=np.uint64)
+
+
+def _jaro_core_bitparallel(
+    a_codes: np.ndarray,
+    a_len: np.ndarray,
+    b_codes: np.ndarray,
+    b_len: np.ndarray,
+    winkler: bool,
+) -> np.ndarray:
+    """Bit-parallel greedy Jaro matching for ASCII strings with len<=64
+    (the standard rapidfuzz-style technique, public knowledge): the b
+    side is a per-char 64-bit position mask, so each a-position claims
+    its match with O(1) uint64 ops per pair instead of an O(Lb) scan —
+    removes the DRAM-bandwidth floor that capped multi-core scaling."""
+    n, La = a_codes.shape
+    Lb = b_codes.shape[1]
+    both_empty = (a_len == 0) & (b_len == 0)
+    window = np.maximum(np.maximum(a_len, b_len) // 2 - 1, 0)
+
+    # batch-local alphabet: remap the (typically ~30) chars actually
+    # present so the position-mask table stays cache-resident
+    present = np.zeros(256, dtype=bool)
+    present[a_codes.reshape(-1)] = True
+    present[b_codes.reshape(-1)] = True
+    remap = np.zeros(256, dtype=np.int16)
+    alpha = np.nonzero(present)[0]
+    remap[alpha] = np.arange(len(alpha))
+    n_alpha = len(alpha)
+
+    # position-mask table: pm[i, c] = bitmask of positions of char c in b_i
+    pm = np.zeros((n, n_alpha), dtype=np.uint64)
+    rows = np.arange(n)
+    b_m = remap[b_codes]
+    a_m = remap[a_codes]
+    for p in range(Lb):
+        live = rows[p < b_len]
+        codes_p = b_m[live, p]
+        # (row, char) is unique within one position p -> plain fancy
+        # gather|scatter, no unbuffered bitwise_or.at needed
+        pm[live, codes_p] = pm[live, codes_p] | (np.uint64(1) << np.uint64(p))
+
+    used = np.zeros(n, dtype=np.uint64)
+    match_a = np.zeros((n, La), dtype=bool)
+    pos_b = np.zeros((n, La), dtype=np.uint8)
+    u64 = np.uint64
+    for j in range(La):
+        lo = np.maximum(j - window, 0).astype(np.uint64)
+        hi = np.minimum(j + window + 1, b_len).astype(np.int64)
+        win = _PREFIX_MASKS[hi] & ~_PREFIX_MASKS[lo]
+        cand = pm[rows, a_m[:, j]] & win & ~used
+        if j > 0:
+            cand &= np.where(j < a_len, ~u64(0), u64(0))
+        bbit = cand & (~cand + u64(1))  # lowest set bit
+        got = bbit != 0
+        used |= bbit
+        match_a[:, j] = got
+        # exact position: log2 of a power of two (exact in float64)
+        pos_b[:, j] = np.where(got, np.log2(bbit, where=got, out=np.zeros(n)), 0).astype(np.uint8)
+
+    m = match_a.sum(axis=1).astype(np.float64)
+
+    # transpositions: matched a-chars in j order vs matched b-chars in
+    # b-position order (one compaction pass each, as in _jaro_core);
+    # int8/uint8 keys keep these the only O(n*L) passes cache-friendly
+    big8 = np.int16(127)
+    key_a = np.where(match_a, np.arange(La, dtype=np.int16), big8)
+    idx_a = np.argsort(key_a, axis=1, kind="stable")
+    a_seq = np.take_along_axis(a_codes, idx_a, axis=1)
+    # order matched b positions ascending; unmatched -> big
+    key_b = np.where(match_a, pos_b.astype(np.int16), big8)
+    idx_b = np.argsort(key_b, axis=1, kind="stable")
+    bpos_sorted = np.take_along_axis(pos_b.astype(np.int64), idx_b, axis=1)
+    b_seq = np.take_along_axis(
+        b_codes, np.minimum(bpos_sorted, Lb - 1), axis=1
+    )
+    k_range = np.arange(La)
+    mism = ((a_seq != b_seq) & (k_range < m[:, None])).sum(axis=1)
+    t = mism / 2.0
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro = (
+            m / np.maximum(a_len, 1) + m / np.maximum(b_len, 1) + (m - t) / np.maximum(m, 1)
+        ) / 3.0
+    jaro = np.where(m == 0, 0.0, jaro)
+    jaro = np.where(both_empty, 1.0, jaro)
+
+    if winkler:
+        P = min(_MAX_PREFIX, La, Lb)
+        if P > 0:
+            pre_eq = (a_codes[:, :P] == b_codes[:, :P]) & (
+                np.arange(P) < np.minimum(a_len, b_len)[:, None]
+            )
+            ell = np.cumprod(pre_eq, axis=1).sum(axis=1)
+        else:
+            ell = np.zeros(n)
+        jaro = jaro + ell * _PREFIX_WEIGHT * (1.0 - jaro)
+    return jaro
+
+
+def _jaro_core(
+    a_codes: np.ndarray,
+    a_len: np.ndarray,
+    b_codes: np.ndarray,
+    b_len: np.ndarray,
+    winkler: bool,
+) -> np.ndarray:
+    n, La = a_codes.shape
+    Lb = b_codes.shape[1]
     both_empty = (a_len == 0) & (b_len == 0)
     window = np.maximum(np.maximum(a_len, b_len) // 2 - 1, 0)
 
@@ -146,21 +282,27 @@ def jaro_winkler_series(
     NA handling (NA pairs are split out before comparison in
     ``R/gammaCKpar.R`` and re-enter as gamma=NA).
     """
-    av = a.to_numpy(dtype=object)
-    bv = b.to_numpy(dtype=object)
-    valid = np.array(
-        [(x is not None and x == x) and (y is not None and y == y) for x, y in zip(av, bv)],
-        dtype=bool,
-    )
-    out = np.full(len(av), np.nan, dtype=np.float64)
+    valid = (~(a.isna() | b.isna())).to_numpy()
+    out = np.full(len(a), np.nan, dtype=np.float64)
     if valid.any():
-        va, vb = av[valid], bv[valid]
+        va = a.to_numpy(dtype=object)[valid]
+        vb = b.to_numpy(dtype=object)[valid]
         # unique-value factorization (SURVEY.md J1): score each distinct
-        # (a, b) pair once, broadcast back by inverse index.
-        pair_keys = pd.MultiIndex.from_arrays([va, vb])
-        uniq, inverse = np.unique(pair_keys.to_numpy(), return_inverse=True)
-        ua = np.array([p[0] for p in uniq], dtype=object)
-        ub = np.array([p[1] for p in uniq], dtype=object)
-        sims = jaro_winkler_np(ua, ub, winkler=winkler, max_len=max_len)
+        # (a, b) pair once, broadcast back by inverse index. Hash-based
+        # pd.factorize per side + int64 combo codes — much cheaper than
+        # np.unique over object tuples (that path serialized 32-core
+        # runs on allocation/bandwidth).
+        ca, ua = pd.factorize(va, use_na_sentinel=False)
+        cb, ub = pd.factorize(vb, use_na_sentinel=False)
+        combo = ca.astype(np.int64) * np.int64(len(ub)) + cb.astype(np.int64)
+        uc, inverse = np.unique(combo, return_inverse=True)
+        pa = (uc // len(ub)).astype(np.int64)
+        pb = (uc % len(ub)).astype(np.int64)
+        sims = jaro_winkler_np(
+            ua.to_numpy(dtype=object)[pa] if hasattr(ua, "to_numpy") else np.asarray(ua, dtype=object)[pa],
+            ub.to_numpy(dtype=object)[pb] if hasattr(ub, "to_numpy") else np.asarray(ub, dtype=object)[pb],
+            winkler=winkler,
+            max_len=max_len,
+        )
         out[valid] = sims[inverse]
     return pd.Series(out)

@@ -23,6 +23,8 @@ analysis/codegen and stalls executors (observed: 64-wide array hung a
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -51,11 +53,173 @@ def shingle_hashes_from_tokens(toks: Column, w: int = DEFAULT_SHINGLE_W) -> Colu
 
 
 def signature_from_hashes(hashes: Column, k: int) -> Column:
-    """array<bigint> of k min-hashes: sig_i = min_h xxhash64(h, seed=i)."""
+    """array<bigint> of k min-hashes: sig_i = min_h xxhash64(h, seed=i).
+
+    Pure-JVM k-rehash variant. O(k * n_shingles) per row with ~1us/elem
+    HOF-lambda overhead — kept as the dependency-free reference path;
+    the default pipeline path is the one-permutation variant below
+    (oph_signature_udf), which is ~k times cheaper per row."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: F.array_min(F.transform(hashes, lambda h: F.xxhash64(h, i))),
     )
+
+
+_EMPTY_SENTINEL = np.iinfo(np.int64).max
+_MIX_PRIME = np.int64(-7046029254386353131)  # 0x9E3779B97F4A7C15 as int64
+
+
+def _oph_batch(hash_arrays: "pd.Series", k: int) -> "pd.Series":
+    """One-permutation MinHash with rotation densification, vectorized
+    across the whole Arrow batch (no per-row Python).
+
+    Shrivastava & Li's one-permutation scheme: ONE hash per shingle;
+    bucket j = h & (k-1) (k power of two); sig[j] = min hash in bucket;
+    empty buckets borrow from the nearest following non-empty bucket,
+    mixed with the borrow distance so borrowed values stay distinct.
+    """
+    import pandas as pd  # local: keep module import light on executors
+
+    n = len(hash_arrays)
+    if n == 0:
+        return pd.Series([], dtype=object)
+    lens = np.fromiter((0 if h is None else len(h) for h in hash_arrays), np.int64, count=n)
+    total = int(lens.sum())
+    sig = np.full((n, k), _EMPTY_SENTINEL, dtype=np.int64)
+    if total > 0:
+        flat = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h in hash_arrays if h is not None and len(h)]
+        )
+        row_idx = np.repeat(np.arange(n), lens)
+        bucket = flat & (k - 1)
+        gidx = row_idx * k + bucket
+        order = np.argsort(gidx, kind="stable")
+        gs, fs = gidx[order], flat[order]
+        starts = np.nonzero(np.r_[True, gs[1:] != gs[:-1]])[0]
+        mins = np.minimum.reduceat(fs, starts)
+        sig.reshape(-1)[gs[starts]] = mins
+    sig = _densify(sig, k)
+    out = [None if lens[i] == 0 else sig[i].tolist() for i in range(n)]
+    return pd.Series(out, dtype=object)
+
+
+def oph_signature_udf(k: int):
+    """pandas UDF: array<bigint> shingle hashes -> array<bigint> OPH
+    signature of length k (k must be a power of two)."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    if k & (k - 1):
+        raise ValueError("OPH signature length k must be a power of two")
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _udf(hashes: pd.Series) -> pd.Series:
+        return _oph_batch(hashes, k)
+
+    return _udf
+
+
+def _rolling_shingles(flat: np.ndarray, lens: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Token hashes (flat, row lens) -> (shingle hashes flat, row index
+    per shingle). Rolling multiply-xor mix of w consecutive token
+    hashes, vectorized over the whole batch (int64 wraparound is the
+    hash mixing). Rows with 0 < len < w emit ONE whole-row shingle."""
+    n = len(lens)
+    row_of = np.repeat(np.arange(n), lens)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    with np.errstate(over="ignore"):
+        acc = flat.copy()
+        for j in range(1, w):
+            shifted = np.empty_like(flat)
+            shifted[:-j] = flat[j:]
+            if j > 0:
+                shifted[-j:] = 0
+            acc = (acc ^ shifted) * _MIX_PRIME + np.int64(j)
+        # position p (global) is a valid w-shingle start iff p + w <= row end
+        pos_in_row = np.arange(len(flat)) - starts[row_of]
+        valid = pos_in_row + w <= lens[row_of]
+        # short rows (0 < len < w): one whole-row shingle = mix of all tokens
+        short = (lens > 0) & (lens < w)
+        if short.any():
+            sidx = np.nonzero(short)[0]
+            svals = []
+            for r in sidx:  # rare path: rows shorter than w tokens
+                seg = flat[starts[r] : ends[r]]
+                v = np.int64(len(seg))
+                for x in seg:
+                    v = (v ^ x) * _MIX_PRIME
+                svals.append(v)
+            return (
+                np.concatenate([acc[valid], np.array(svals, dtype=np.int64)]),
+                np.concatenate([row_of[valid], sidx]),
+            )
+    return acc[valid], row_of[valid]
+
+
+def oph_from_token_hashes_udf(k: int, w: int):
+    """pandas UDF: array<bigint> TOKEN hashes -> array<bigint> OPH
+    signature. Shingle mixing + one-permutation min-bucketing + rotation
+    densification all happen in one vectorized numpy pass — the JVM does
+    only one xxhash64 per token. This is the default minhash path: the
+    per-shingle JVM HOF variant costs ~88us/shingle in slice+concat_ws
+    lambda machinery (measured), ~30x this path."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    if k & (k - 1):
+        raise ValueError("OPH signature length k must be a power of two")
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _udf(token_hashes: pd.Series) -> pd.Series:
+        n = len(token_hashes)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter(
+            (0 if h is None else len(h) for h in token_hashes), np.int64, count=n
+        )
+        if lens.sum() == 0:
+            return pd.Series([None] * n, dtype=object)
+        flat = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h in token_hashes if h is not None and len(h)]
+        )
+        sh, row_of = _rolling_shingles(flat, lens, w)
+        sig = np.full((n, k), _EMPTY_SENTINEL, dtype=np.int64)
+        if len(sh):
+            bucket = sh & (k - 1)
+            gidx = row_of * k + bucket
+            order = np.argsort(gidx)
+            gs, fs = gidx[order], sh[order]
+            startpos = np.nonzero(np.r_[True, gs[1:] != gs[:-1]])[0]
+            mins = np.minimum.reduceat(fs, startpos)
+            sig.reshape(-1)[gs[startpos]] = mins
+        sig = _densify(sig, k)
+        return pd.Series(
+            [None if lens[i] == 0 else sig[i].tolist() for i in range(n)], dtype=object
+        )
+
+    return _udf
+
+
+def _densify(sig: np.ndarray, k: int) -> np.ndarray:
+    """Rotation densification of empty OPH buckets (vectorized; operates
+    only on rows that still have empties)."""
+    with np.errstate(over="ignore"):
+        empty_rows = np.nonzero((sig == _EMPTY_SENTINEL).any(axis=1))[0]
+        if len(empty_rows) == 0:
+            return sig
+        sub = sig[empty_rows]
+        empty = sub == _EMPTY_SENTINEL
+        shift = 1
+        while empty.any() and shift < k:
+            donor = np.roll(sub, -shift, axis=1)
+            fill = empty & (donor != _EMPTY_SENTINEL)
+            if fill.any():
+                sub[fill] = donor[fill] + np.int64(shift) * _MIX_PRIME
+                empty = sub == _EMPTY_SENTINEL
+            shift += 1
+        sig[empty_rows] = sub
+    return sig
 
 
 def band_keys_from_signature(
@@ -89,16 +253,29 @@ def add_minhash_bands(
     bands: int = DEFAULT_BANDS,
     rows_per_band: int = DEFAULT_ROWS_PER_BAND,
     keep_signature: bool = False,
+    impl: str = "oph",
 ) -> DataFrame:
     """text -> `out_col`: array<string> of LSH band keys (null text or
     empty token set -> null). Staged projections keep each level
-    computed once per row."""
+    computed once per row.
+
+    impl='oph' (default): one-permutation signature in a vectorized
+    pandas UDF — one xxhash64 per shingle (JVM) + one numpy pass, ~k
+    times cheaper than impl='jvm' (k-rehash, dependency-free)."""
     k = bands * rows_per_band
-    df = df.withColumn("__mh_sh", shingle_hashes_from_tokens(tokens(F.col(text_col)), w))
-    df = df.withColumn(
-        "__mh_sig",
-        F.when(F.col("__mh_sh").isNotNull(), signature_from_hashes(F.col("__mh_sh"), k)),
-    )
+    if impl == "oph":
+        # JVM: one xxhash64 per TOKEN; numpy UDF: shingle mix + OPH
+        tok_hashes = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+        df = df.withColumn("__mh_sh", tok_hashes)
+        df = df.withColumn("__mh_sig", oph_from_token_hashes_udf(k, w)(F.col("__mh_sh")))
+    elif impl == "jvm":
+        df = df.withColumn("__mh_sh", shingle_hashes_from_tokens(tokens(F.col(text_col)), w))
+        df = df.withColumn(
+            "__mh_sig",
+            F.when(F.col("__mh_sh").isNotNull(), signature_from_hashes(F.col("__mh_sh"), k)),
+        )
+    else:
+        raise ValueError(f"unknown minhash impl: {impl}")
     df = df.withColumn(
         out_col,
         F.when(

@@ -72,13 +72,31 @@ def gamma_numeric(
     return g.otherwise(F.lit(0)).cast("int")
 
 
+def levenshtein_sim(a: Column, b: Column) -> Column:
+    """Normalized Levenshtein similarity 1 - lev/max(len) — the
+    'lv' stringdist.method of the reference (``R/fastLink.R`` arg
+    validation, SURVEY.md F2). JVM built-in F.levenshtein."""
+    mx = F.greatest(F.length(a), F.length(b))
+    return F.when(a.isNull() | b.isNull(), F.lit(None)).when(mx == 0, F.lit(1.0)).otherwise(
+        1.0 - F.levenshtein(a, b) / mx
+    )
+
+
+def gamma_soundex(a: Column, b: Column) -> Column:
+    """Binary soundex agreement (stringdist.method='soundex',
+    ``R/gammaCK2par.R`` dispatch, SURVEY.md F3). JVM built-in."""
+    return gamma_exact(F.soundex(a), F.soundex(b))
+
+
 @dataclass(frozen=True)
 class FieldSpec:
     """One linkage field: how to compare a_<name> vs b_<name>.
 
-    kind: 'exact' | 'string' | 'string2' (no partial) | 'numeric'
+    kind: 'exact' | 'string' (JW 3-level) | 'string2' (JW 2-level) |
+          'levenshtein' | 'soundex' | 'numeric'
     Mirrors fastLink's varnames + stringdist.match/partial.match/
-    numeric.match argument triple (``R/fastLink.R`` signature).
+    numeric.match argument triple and stringdist.method dispatch
+    (``R/fastLink.R`` signature).
     """
 
     name: str
@@ -94,6 +112,10 @@ class FieldSpec:
             return gamma_string(a, b, self.cut_full, self.cut_partial)
         if self.kind == "string2":
             return gamma_string(a, b, self.cut_full, None)
+        if self.kind == "levenshtein":
+            return gamma_from_sim(levenshtein_sim(a, b), self.cut_full, self.cut_partial)
+        if self.kind == "soundex":
+            return gamma_soundex(a, b)
         if self.kind == "numeric":
             return gamma_numeric(a, b, self.cut_full, self.cut_partial)
         raise ValueError(f"unknown field kind: {self.kind}")

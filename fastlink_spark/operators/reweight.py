@@ -1,0 +1,88 @@
+"""nameReweight + aggregateEM + movers-prior helpers.
+
+- ``name_reweight``: reference ``R/nameReweight.R • nameReweight()``
+  (SURVEY.md G12/A3): common values (e.g. common first names / common
+  page titles) agree by chance far more often than rare ones; replace
+  the field's GLOBAL chance-agreement probability u_k[agree] =
+  sum_v p_v^2 with the VALUE-SPECIFIC p_v^2 when recomputing each
+  agreeing pair's posterior. Rare-value agreements get boosted, common
+  ones damped.
+- ``pool_pattern_counts``: reference ``R/aggregateEM.R • aggregateEM()``
+  (SURVEY.md G15/A4): pooling sufficient statistics across blocks
+  BEFORE one EM is equivalent to aggregating per-block EMs.
+- ``movers_prior``: reference ``R/calcMoversPriors.R`` (SURVEY.md G16):
+  reduces an external migration/overlap estimate to the (lambda_prior,
+  w_lambda) pseudo-count pair consumed by em.emlink_mar.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..em import EMResult
+
+
+def value_frequencies(records: DataFrame, field: str) -> DataFrame:
+    """(value, p_v): share of records holding each value of `field`."""
+    tot = records.where(F.col(field).isNotNull()).count()
+    return (
+        records.where(F.col(field).isNotNull())
+        .groupBy(F.col(field).alias("value"))
+        .agg((F.count("*") / F.lit(tot)).alias("p_v"))
+    )
+
+
+def name_reweight(
+    pairs_with_zeta: DataFrame,
+    records: DataFrame,
+    field: str,
+    em: EMResult,
+    *,
+    agree_level: int = 2,
+) -> DataFrame:
+    """Recompute zeta for pairs that AGREE on `field`, substituting the
+    value-specific chance-agreement probability p_v^2 for the field's
+    global u[agree]. Non-agreeing pairs keep their zeta.
+
+    Requires columns a_<field> and gamma_<field> on the pair rows.
+    """
+    gcol = f"gamma_{field}"
+    u_agree = em.u[gcol][em.levels[gcol].index(agree_level)]
+    m_agree = em.m[gcol][em.levels[gcol].index(agree_level)]
+    freqs = value_frequencies(records, field).withColumnRenamed("value", f"a_{field}")
+
+    agreeing = pairs_with_zeta.where(F.col(gcol) == agree_level).join(
+        F.broadcast(freqs), f"a_{field}", "left"
+    )
+    # odds form: zeta = o/(1+o) with o = lam/(1-lam) * prod(m/u);
+    # swap the field's u[agree] for p_v^2 => multiply odds by u_agree/p_v^2
+    odds = F.col("zeta") / (1 - F.col("zeta"))
+    adj = F.coalesce(
+        F.lit(u_agree) / F.greatest(F.col("p_v") * F.col("p_v"), F.lit(1e-12)), F.lit(1.0)
+    )
+    new_odds = odds * adj
+    reweighted = agreeing.withColumn(
+        "zeta_reweighted", F.least(new_odds / (1 + new_odds), F.lit(1.0))
+    ).drop("p_v")
+    rest = pairs_with_zeta.where(
+        F.col(gcol).isNull() | (F.col(gcol) != agree_level)
+    ).withColumn("zeta_reweighted", F.col("zeta"))
+    _ = m_agree  # kept for parity notes: reference also renormalizes m
+    return reweighted.unionByName(rest)
+
+
+def pool_pattern_counts(tables: list[pd.DataFrame], gamma_cols: list[str]) -> pd.DataFrame:
+    """Sum per-block pattern-count tables into one sufficient statistic."""
+    allp = pd.concat(tables, ignore_index=True)
+    return allp.groupby(gamma_cols, dropna=False, as_index=False)["cnt"].sum()
+
+
+def movers_prior(expected_matches: float, nobs_a: int, nobs_b: int, weight: float = 1.0) -> dict:
+    """External overlap estimate -> EM prior knobs (lambda_prior ~
+    expected match share of the pair space, w_lambda pseudo-count)."""
+    lam = expected_matches / max(nobs_a * nobs_b, 1)
+    return {"lambda_prior": min(max(lam, 0.0), 1.0), "lambda_prior_w": weight}

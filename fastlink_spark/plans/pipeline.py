@@ -181,9 +181,12 @@ def link_dedupe(
     )
 
     fields = list(cfg.fields)
+    par = spark.sparkContext.defaultParallelism * 4
     scored = ckpt.stage(
         "pairs_gamma",
-        lambda: gammas.with_gammas(cand, fields),
+        # repartition before the UDF stage: smooths per-partition
+        # JW-content skew (the gamma wall is set by the slowest task)
+        lambda: gammas.with_gammas(cand.repartition(par), fields),
         inputs=("candidate_pairs",),
     )
 
@@ -194,14 +197,17 @@ def link_dedupe(
         fit_src = scored
     fit_patterns = gammas.pattern_counts(fit_src, fields).toPandas()
 
-    em_json = ckpt.get_json("em")
+    # em checkpoint is config-keyed: a config change must invalidate it
+    # like any other stage (stale-EM-on-resume bug otherwise)
+    em_key = f"em_{cfg.token()}"
+    em_json = ckpt.get_json(em_key)
     if em_json is not None:
         em = em_mod.EMResult.from_json(em_json)
     else:
         em = em_mod.emlink_mar(
             fit_patterns, gcols, p_m=cfg.p_m, tol=cfg.tol, iter_max=cfg.iter_max
         )
-        ckpt.put_json("em", em.to_json())
+        ckpt.put_json(em_key, em.to_json())
 
     full_patterns = (
         fit_patterns

@@ -1,0 +1,215 @@
+"""Tests for parity extras: dedupeMatches 1:1, stringSubset, window
+blocks, emlinklog, nameReweight, textmeta functions, incremental
+streaming linkage."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fastlink_spark.em import emlink_mar
+from fastlink_spark.em_log import emlink_log
+from fastlink_spark.operators.dedupe_matches import dedupe_matches
+from fastlink_spark.operators.subset import string_subset, window_blocks
+from fastlink_spark.operators.pairs import candidate_pairs
+
+
+def test_dedupe_matches_one_to_one(spark):
+    rows = [
+        (1, 10, 0.99),
+        (1, 11, 0.95),
+        (2, 10, 0.90),
+        (2, 11, 0.85),
+        (3, 12, 0.9),
+    ]
+    pairs = spark.createDataFrame(rows, "a_rec_id long, b_rec_id long, zeta double")
+    out = dedupe_matches(pairs)
+    got = {(r["a_rec_id"], r["b_rec_id"]) for r in out.collect()}
+    # greedy: (1,10) best; then 2 takes 11; 3 takes 12
+    assert got == {(1, 10), (2, 11), (3, 12)}
+    a_side = [r["a_rec_id"] for r in out.collect()]
+    b_side = [r["b_rec_id"] for r in out.collect()]
+    assert len(set(a_side)) == len(a_side) and len(set(b_side)) == len(b_side)
+
+
+def test_string_subset(spark):
+    recs = spark.createDataFrame([(i,) for i in range(6)], "rec_id long")
+    pairs = spark.createDataFrame([(0, 3), (1, 3)], "a_rec_id long, b_rec_id long")
+    out = string_subset(recs, pairs, "rec_id")
+    assert {r["rec_id"] for r in out.collect()} == {0, 1, 3}
+
+
+def test_window_blocks_band_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 12.0), (3, 29.0), (4, None)], "rec_id long, v double"
+    )
+    blocked = window_blocks(df, "v", 10.0, "rec_id").withColumnRenamed("v", "val")
+    pairs = candidate_pairs(blocked.select("block_key", "rec_id", "val"))
+    close = pairs.where(F.abs(F.col("a_val") - F.col("b_val")) <= 10.0)
+    got = {(r["a_rec_id"], r["b_rec_id"]) for r in close.collect()}
+    assert (1, 2) in got and (1, 3) not in got  # |10-29| > window
+    assert not any(4 in p for p in got)
+
+
+def _mixture(lam=0.2, m=(0.9, 0.85, 0.95), u=(0.05, 0.1, 0.02), n=100_000):
+    rows = []
+    for g1 in (0, 2):
+        for g2 in (0, 2):
+            for g3 in (0, 2):
+                pm, pu = lam, 1 - lam
+                for g, mk, uk in zip((g1, g2, g3), m, u):
+                    pm *= mk if g == 2 else 1 - mk
+                    pu *= uk if g == 2 else 1 - uk
+                rows.append({"g1": g1, "g2": g2, "g3": g3, "cnt": (pm + pu) * n})
+    return pd.DataFrame(rows)
+
+
+def _mixture_k(lam, m, u, n=100_000):
+    K = len(m)
+    rows = []
+    import itertools as it
+
+    for gs in it.product((0, 2), repeat=K):
+        pm, pu = lam, 1 - lam
+        for g, mk, uk in zip(gs, m, u):
+            pm *= mk if g == 2 else 1 - mk
+            pu *= uk if g == 2 else 1 - uk
+        rows.append({**{f"g{i+1}": g for i, g in enumerate(gs)}, "cnt": (pm + pu) * n})
+    return pd.DataFrame(rows)
+
+
+def test_emlinklog_posterior_structure():
+    # the 2-way log-linear mixture is only identifiable when it is a
+    # real restriction (K>=5 binary fields: 16 params vs 32 cells) —
+    # mirrors the reference's usage at K~5-10; assert the behavioral
+    # contract: convergence + posterior ordering.
+    K = 5
+    patt = _mixture_k(0.2, (0.9,) * K, (0.05,) * K)
+    cols = [f"g{i+1}" for i in range(K)]
+    res_log = emlink_log(patt, cols, iter_max=500)
+    assert res_log.attrs["converged"]
+    z = {tuple(r[c] for c in cols): r["zeta"] for _, r in res_log.iterrows()}
+    assert z[(2,) * K] > 0.95
+    assert z[(0,) * K] < 0.05
+    assert z[(2,) * K] > z[(2, 2, 2, 2, 0)] > z[(0,) * K]
+
+
+def test_emlinklog_mar_nulls():
+    patt = _mixture()
+    patt_null = patt.groupby(["g1", "g2"], as_index=False)["cnt"].sum()
+    patt_null["g3"] = None
+    out = emlink_log(patt_null, ["g1", "g2", "g3"])
+    assert out.attrs["converged"]
+    # all-agree pattern must get higher zeta than all-disagree
+    z = {(r["g1"], r["g2"]): r["zeta"] for _, r in out.iterrows()}
+    assert z[(2, 2)] > z[(0, 0)]
+
+
+def test_name_reweight(spark):
+    from fastlink_spark.operators.reweight import name_reweight
+
+    patt = pd.DataFrame({"gamma_name": [2, 0], "cnt": [100, 900]})
+    em = emlink_mar(patt, ["gamma_name"])
+    records = spark.createDataFrame(
+        [(i, "common") for i in range(90)] + [(i + 100, "rare") for i in range(2)],
+        "rec_id long, name string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, "common", 2, 0.7), (101, 102, "rare", 2, 0.7), (3, 4, "x", 0, 0.2)],
+        "a_rec_id long, b_rec_id long, a_name string, gamma_name int, zeta double",
+    )
+    out = name_reweight(pairs, records, "name", em)
+    d = {r["a_rec_id"]: r["zeta_reweighted"] for r in out.collect()}
+    assert d[101] > d[1], "rare-name agreement must be boosted above common-name"
+    assert d[3] == pytest.approx(0.2)
+
+
+def test_incremental_linker(spark, tmp_path):
+    from fastlink_spark.em import emlink_mar as fit
+    from fastlink_spark.plans.pipeline import LinkageConfig
+    from fastlink_spark.sources.fixtures import generate_pages
+    from fastlink_spark.streaming.incremental import IncrementalLinker
+
+    fx = generate_pages(n_base=60)
+    pages = fx.pages
+    half = len(pages) // 2
+    # frozen EM from a quick batch fit on the first half
+    from fastlink_spark.plans.pipeline import link_dedupe
+
+    res = link_dedupe(spark, spark.createDataFrame(pages.iloc[:half]), LinkageConfig())
+    linker = IncrementalLinker(spark, str(tmp_path / "state"), res.em)
+    e1 = linker.process_batch(spark.createDataFrame(pages.iloc[:half]))
+    n1 = e1.count()
+    e2 = linker.process_batch(spark.createDataFrame(pages.iloc[half:]))
+    n2 = e2.count()
+    assert n1 == half and n2 == len(pages) - half
+    # a second-batch variant of a first-batch page must join its cluster
+    ents = spark.read.parquet(str(tmp_path / "state" / "entities"))
+    truth = spark.createDataFrame(fx.entities_truth).withColumnRenamed(
+        "cluster_id", "truth_cluster"
+    )
+    joined = ents.join(truth, "url")
+    # predicted multi-member clusters must exist and be truth-pure
+    sizes = joined.groupBy("cluster_id").agg(
+        F.countDistinct("url").alias("n"), F.countDistinct("truth_cluster").alias("n_truth")
+    )
+    multi = sizes.where(F.col("n") > 1)
+    n_multi = multi.count()
+    n_impure = multi.where(F.col("n_truth") > 1).count()
+    assert n_multi > 0
+    # the incremental path fits EM on half the data and cannot split
+    # bridged clusters until the periodic batch re-run — allow a small
+    # impurity budget (the batch pipeline's own gate is the strict one)
+    assert n_impure <= max(1, int(0.10 * n_multi)), f"{n_impure}/{n_multi} impure"
+
+
+def test_textmeta_functions(spark):
+    from fastlink_spark.functions.textmeta import langid, quality_score, rolling_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick fox is in the house for a while and it works on it " * 5),
+            (2, "der hund ist nicht mit der katze und das haus von der stadt " * 5),
+            (3, "xyzzy qwerty"),
+            (4, None),
+        ],
+        "id long, text string",
+    )
+    out = df.select(
+        "id",
+        langid(F.col("text")).alias("lang"),
+        quality_score(F.col("text")).alias("q"),
+        F.size(rolling_fingerprints(F.col("text"))).alias("nfp"),
+    ).collect()
+    d = {r["id"]: r for r in out}
+    assert d[1]["lang"] == "en" and d[2]["lang"] == "de" and d[3]["lang"] == "und"
+    assert d[1]["q"] > d[3]["q"]
+    assert d[1]["nfp"] >= 0 and d[4]["nfp"] in (-1, None)
+
+
+def test_gamma_levenshtein_and_soundex(spark):
+    from fastlink_spark.operators.gammas import FieldSpec, with_gammas
+
+    df = spark.createDataFrame(
+        [(1, 2, "robert", "robert"), (3, 4, "robert", "rupert"), (5, 6, "robert", "xyz"), (7, 8, None, "a")],
+        "a_rec_id long, b_rec_id long, a_f string, b_f string",
+    )
+    lev = with_gammas(df, [FieldSpec("f", "levenshtein", cut_full=0.9, cut_partial=0.6)])
+    assert [r[0] for r in lev.select("gamma_f").collect()] == [2, 1, 0, None]
+    sdx = with_gammas(df, [FieldSpec("f", "soundex")])
+    # soundex(robert) == soundex(rupert) == R163
+    assert [r[0] for r in sdx.select("gamma_f").collect()] == [2, 2, 0, None]
+
+
+def test_emlinkrs_sampling_mode(spark):
+    from fastlink_spark.plans.pipeline import LinkageConfig, link_dedupe
+    from fastlink_spark.sources.fixtures import generate_pages
+    from fastlink_spark.eval import pairwise_f1
+
+    fx = generate_pages(n_base=150)
+    pages = spark.createDataFrame(fx.pages)
+    res = link_dedupe(spark, pages, LinkageConfig(sample_fraction=0.5))
+    lp = spark.createDataFrame(fx.labeled_pairs)
+    stats = pairwise_f1(res.entities, lp)
+    # EM fit on a 50% pair sample, applied to all pairs (emlinkRS path):
+    # quality must stay near the full-fit gate
+    assert stats["f1"] >= 0.97, stats
