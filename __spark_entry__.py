@@ -329,6 +329,58 @@ def q20_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges, nodes)
 
 
+def q21_window_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window blocking (blockData(window.block=) analogue,
+    SURVEY.md J5) driven through the generic salted pair machinery:
+    same-custkey order pairs within +-100 of o_totalprice."""
+    from fastlink_spark.operators.pairs import candidate_pairs
+    from fastlink_spark.operators.subset import window_blocks
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("rec_id"),
+        F.col("o_custkey").alias("cust"),
+        F.col("o_totalprice").alias("price"),
+    )
+    blocked = window_blocks(o, "price", 100.0, "rec_id")
+    blocked = blocked.join(o.select("rec_id", "cust"), "rec_id").select(
+        F.concat_ws("|", F.col("block_key"), F.col("cust")).alias("block_key"),
+        "rec_id",
+        "price",
+        "cust",
+    )
+    pairs = candidate_pairs(blocked)
+    return (
+        pairs.where(
+            (F.col("a_cust") == F.col("b_cust"))
+            & (F.abs(F.col("a_price") - F.col("b_price")) <= 100.0)
+        )
+        .select(F.col("a_rec_id").alias("id_a"), F.col("b_rec_id").alias("id_b"))
+    )
+
+
+def q22_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation over the events table (the
+    batch twin of the streaming windowed agg)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("sum_value"),
+        )
+    )
+
+
+def q23_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastlink_spark.functions.textmeta import quality_score
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", quality_score(F.col("text")).alias("q"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_block_profile": q01_block_profile,
@@ -351,6 +403,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_fingerprints": q18_fingerprints,
         "q19_ivf_topk": q19_ivf_topk,
         "q20_connected_components": q20_connected_components,
+        "q21_window_block_join": q21_window_block_join,
+        "q22_tumbling_events": q22_tumbling_events,
+        "q23_quality_score": q23_quality_score,
     }
 
 
@@ -461,6 +516,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, "
             " CAST(coalesce(list_sum(list_transform(t, x -> greatest(CAST(floor((length(x) + 3) / 4) AS BIGINT), 1))), 0) AS BIGINT) AS n_bpe "
             "FROM tk"
+        ),
+        "q21_window_block_join": (
+            "SELECT a.o_orderkey AS id_a, b.o_orderkey AS id_b FROM orders a JOIN orders b "
+            "ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey "
+            "AND abs(a.o_totalprice - b.o_totalprice) <= 100"
+        ),
+        "q22_tumbling_events": (
+            "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type, "
+            " count(*) AS n_events, "
+            " round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "q23_quality_score": (
+            f"WITH tk AS (SELECT doc_id, text, {toks} AS t FROM documents), "
+            "b AS (SELECT doc_id, CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars, "
+            " CAST(len(t) AS BIGINT) AS n_tokens, "
+            " CAST(length(regexp_replace(lower(coalesce(text, '')), '[^a-z]', '', 'g')) AS BIGINT) AS alpha, "
+            f" CAST(len(list_filter(t, x -> list_contains({en}, x))) AS BIGINT) AS n_stop FROM tk), "
+            "r AS (SELECT doc_id, n_tokens, "
+            " CASE WHEN n_chars > 0 THEN CAST(floor(alpha * 10000 / n_chars) AS BIGINT) ELSE 0 END AS ar, "
+            " CASE WHEN n_tokens > 0 THEN CAST(floor(n_stop * 10000 / n_tokens) AS BIGINT) ELSE 0 END AS sr FROM b) "
+            "SELECT doc_id, CAST((CASE WHEN n_tokens >= 50 AND n_tokens <= 100000 THEN 40 "
+            "                      WHEN n_tokens >= 10 THEN 20 ELSE 0 END) "
+            " + (CASE WHEN ar >= 6000 THEN 30 WHEN ar >= 3000 THEN 15 ELSE 0 END) "
+            " + (CASE WHEN sr >= 100 THEN 30 ELSE 10 END) AS INT) AS q FROM r"
         ),
         # q15..q20: hash/JW/EM/CC-based — deliberately no SQL oracle
         # (rows-only check); see module docstring.

@@ -121,3 +121,65 @@ def candidate_pairs(
     if dedupe_pairs:
         pairs = pairs.dropDuplicates([f"a_{id_col}", f"b_{id_col}"])
     return pairs
+
+
+def candidate_pairs_two(
+    blocked_a: DataFrame,
+    blocked_b: DataFrame,
+    *,
+    id_col: str = "rec_id",
+    skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
+    target_block: int = DEFAULT_TARGET_BLOCK,
+    dedupe_pairs: bool = True,
+) -> DataFrame:
+    """Two-table (dfA x dfB) blocked join — the reference's primary
+    linkage mode (``R/fastLink.R • fastLink(dfA, dfB, ...)``), as
+    opposed to the dedupe self-join. Skew split: rows of the LARGER
+    (A) side of a hot block get salt = pmod(xxhash64(id), S); the B
+    side of that block is replicated to all S salts via a broadcast
+    salt-sequence join, so each (block, salt) cell joins independently.
+
+    Inputs: (block_key, id, attrs...) per side; outputs a_*/b_* columns.
+    """
+    spark = blocked_a.sparkSession
+    prof = (
+        blocked_a.groupBy("block_key").agg(F.count("*").alias("na"))
+        .join(blocked_b.groupBy("block_key").agg(F.count("*").alias("nb")), "block_key")
+        .withColumn("n", F.col("na") + F.col("nb"))
+    )
+    plan = (
+        prof.filter(F.col("n") > skew_threshold)
+        .select(
+            "block_key",
+            F.least(F.ceil(F.col("n") / target_block), F.lit(MAX_SALTS)).cast("int").alias("s_cnt"),
+        )
+    )
+
+    a_cols = [c for c in blocked_a.columns if c != "block_key"]
+    b_cols = [c for c in blocked_b.columns if c != "block_key"]
+
+    a = (
+        blocked_a.join(F.broadcast(plan), "block_key", "left")
+        .withColumn("s_cnt", F.coalesce(F.col("s_cnt"), F.lit(1)))
+        .withColumn("salt", F.pmod(F.xxhash64(F.col(id_col)), F.col("s_cnt")).cast("int"))
+        .select("block_key", "salt", *[F.col(c).alias(f"a_{c}") for c in a_cols])
+    )
+    b = (
+        blocked_b.join(F.broadcast(plan), "block_key", "left")
+        .withColumn("s_cnt", F.coalesce(F.col("s_cnt"), F.lit(1)))
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.col("s_cnt") - 1)))
+        .withColumn("salt", F.col("salt").cast("int"))
+        .select(
+            F.col("block_key").alias("b_bk"),
+            F.col("salt").alias("b_salt"),
+            *[F.col(c).alias(f"b_{c}") for c in b_cols],
+        )
+    )
+    pairs = a.join(
+        b,
+        on=[F.col("block_key") == F.col("b_bk"), F.col("salt") == F.col("b_salt")],
+        how="inner",
+    ).drop("block_key", "b_bk", "salt", "b_salt")
+    if dedupe_pairs:
+        pairs = pairs.dropDuplicates([f"a_{id_col}", f"b_{id_col}"])
+    return pairs

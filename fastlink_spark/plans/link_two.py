@@ -1,0 +1,98 @@
+"""Two-table linkage — the reference's flagship entry point
+``R/fastLink.R • fastLink(dfA, dfB, varnames, stringdist.match,
+partial.match, numeric.match, ...)`` (SURVEY.md §3.1), Spark-first.
+
+Unlike plans/pipeline.link_dedupe (the dedupe branch + clustering that
+the BASELINE north star centers on), this returns MATCHED PAIRS with
+posteriors — fastLink's native output shape — plus the optional 1:1
+``dedupeMatches`` pass and ``getMatches``-style row materialization.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import em as em_mod
+from ..operators import gammas
+from ..operators.dedupe_matches import dedupe_matches
+from ..operators.pairs import candidate_pairs_two
+
+
+@dataclass
+class LinkTwoResult:
+    matched_pairs: DataFrame  # (a_<id>, b_<id>, zeta)
+    em: em_mod.EMResult
+    pattern_counts: "object"
+
+
+def link_records(
+    spark: SparkSession,
+    df_a: DataFrame,
+    df_b: DataFrame,
+    fields: list[gammas.FieldSpec],
+    *,
+    id_col: str,
+    block_cols: list[str],
+    threshold: float = 0.85,
+    p_m: float = 0.1,
+    tol: float = 1e-5,
+    iter_max: int = 5000,
+    one_to_one: bool = False,
+    skew_threshold: int = 5000,
+) -> LinkTwoResult:
+    """fastLink(dfA, dfB): block on exact `block_cols`, score `fields`,
+    EM over pattern counts, keep pairs with zeta >= threshold; optional
+    greedy 1:1 (dedupeMatches). Column names follow the a_/b_ contract.
+    """
+    attrs = [id_col] + [f.name for f in fields]
+
+    def blocked(df: DataFrame) -> DataFrame:
+        key = F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in block_cols])
+        return df.select(key.alias("block_key"), *attrs)
+
+    pairs = candidate_pairs_two(
+        blocked(df_a), blocked(df_b), id_col=id_col, skew_threshold=skew_threshold
+    ).localCheckpoint(eager=True)
+
+    scored = gammas.with_gammas(pairs, fields)
+    gcols = [f"gamma_{f.name}" for f in fields]
+    patt = gammas.pattern_counts(scored, fields).toPandas()
+    em = em_mod.emlink_mar(patt, gcols, p_m=p_m, tol=tol, iter_max=iter_max)
+    scored_patterns = em_mod.apply_em(patt, em)
+
+    import pandas as pd
+
+    zrows = [
+        tuple(None if pd.isna(r[c]) else int(r[c]) for c in gcols) + (float(r["zeta"]),)
+        for _, r in scored_patterns.iterrows()
+    ]
+    zschema = ", ".join(f"{c} int" for c in gcols) + ", zeta double"
+    zdf = spark.createDataFrame(zrows, zschema)
+    cond = None
+    for c in gcols:
+        eq = scored[c].eqNullSafe(zdf[c])
+        cond = eq if cond is None else (cond & eq)
+    matched = (
+        scored.join(F.broadcast(zdf), cond, "inner")
+        .where(F.col("zeta") >= threshold)
+        .select(f"a_{id_col}", f"b_{id_col}", "zeta")
+    )
+    if one_to_one:
+        matched = dedupe_matches(matched, id_a=f"a_{id_col}", id_b=f"b_{id_col}")
+    return LinkTwoResult(matched_pairs=matched, em=em, pattern_counts=scored_patterns)
+
+
+def get_matches(
+    df_a: DataFrame, df_b: DataFrame, result: LinkTwoResult, id_col: str
+) -> DataFrame:
+    """getMatches (``R/getMatches.R``): materialize matched source rows
+    side by side with the posterior."""
+    a = df_a.select([F.col(c).alias(f"a_{c}") for c in df_a.columns])
+    b = df_b.select([F.col(c).alias(f"b_{c}") for c in df_b.columns])
+    return (
+        result.matched_pairs.join(a, f"a_{id_col}")
+        .join(b, f"b_{id_col}")
+    )
