@@ -110,7 +110,14 @@ def emlink_mar(
     # normalize null representations to Python None
     for c in gamma_cols:
         patt[c] = patt[c].astype(object).where(pd.notna(patt[c]), None)
-        patt[c] = [None if v is None else int(v) for v in patt[c]]
+        # dtype=object is load-bearing: a bare list of ints+None would be
+        # re-coerced by pandas to float64, turning None back into NaN and
+        # leaking a phantom NaN 'level' into the model
+        patt[c] = pd.Series(
+            [None if v is None else int(v) for v in patt[c]],
+            dtype=object,
+            index=patt.index,
+        )
     n = patt["cnt"].to_numpy(dtype=np.float64)
     N = n.sum()
     if N <= 0:
@@ -206,7 +213,14 @@ def apply_em(patterns: pd.DataFrame, em: EMResult) -> pd.DataFrame:
     patt = patterns.copy()
     for c in em.gamma_cols:
         patt[c] = patt[c].astype(object).where(pd.notna(patt[c]), None)
-        patt[c] = [None if v is None else int(v) for v in patt[c]]
+        # dtype=object is load-bearing: a bare list of ints+None would be
+        # re-coerced by pandas to float64, turning None back into NaN and
+        # leaking a phantom NaN 'level' into the model
+        patt[c] = pd.Series(
+            [None if v is None else int(v) for v in patt[c]],
+            dtype=object,
+            index=patt.index,
+        )
     fm = _class_lik(patt, em.gamma_cols, em.levels, em.m)
     fu = _class_lik(patt, em.gamma_cols, em.levels, em.u)
     wm = em.lam * fm

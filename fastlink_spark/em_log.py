@@ -71,7 +71,14 @@ def emlink_log(
     patt = patterns.copy()
     for c in gamma_cols:
         patt[c] = patt[c].astype(object).where(pd.notna(patt[c]), None)
-        patt[c] = [None if v is None else int(v) for v in patt[c]]
+        # dtype=object is load-bearing: a bare list of ints+None would be
+        # re-coerced by pandas to float64, turning None back into NaN and
+        # leaking a phantom NaN 'level' into the model
+        patt[c] = pd.Series(
+            [None if v is None else int(v) for v in patt[c]],
+            dtype=object,
+            index=patt.index,
+        )
     n = patt["cnt"].to_numpy(dtype=np.float64)
     N = n.sum()
 

@@ -59,6 +59,13 @@ class LinkageConfig:
     skew_threshold: int = pairs_mod.DEFAULT_SKEW_THRESHOLD
     target_block: int = pairs_mod.DEFAULT_TARGET_BLOCK
     refine_host_above: int = 50_000
+    # deterministic-match pass layered on FS (standard practice, and the
+    # dedupe ground truth for web pages: identical canonical URL == same
+    # entity): pairs exactly equal+non-null on ALL listed fields are
+    # accepted regardless of zeta. Catches e.g. pattern (2,0,0) — same
+    # url_norm, heavily-perturbed short title, truncated text — which
+    # the mixture correctly ranks low on its own evidence.
+    deterministic_fields: tuple[str, ...] = ("url_norm",)
     sample_fraction: float | None = None  # emlinkRS mode: fit EM on a pair sample
     checkpoint_dir: str | None = None
     extra: dict = dc_field(default_factory=dict)
@@ -81,6 +88,7 @@ class LinkageConfig:
                     self.refine_host_above,
                 ],
                 "sample": self.sample_fraction,
+                "deterministic": list(self.deterministic_fields),
             },
             sort_keys=True,
         )
@@ -229,15 +237,28 @@ def link_dedupe(
     for c in gcols:
         eq = scored[c].eqNullSafe(zeta_df[c])
         cond = eq if cond is None else (cond & eq)
-    matched = ckpt.stage(
-        "matched_pairs",
-        lambda: (
+    def _build_matched() -> DataFrame:
+        fs = (
             scored.join(F.broadcast(zeta_df), cond, "inner")
             .where(F.col("zeta") >= cfg.threshold)
             .select("a_rec_id", "b_rec_id", "zeta")
-        ),
-        inputs=("pairs_gamma",),
-    )
+        )
+        if cfg.deterministic_fields:
+            det_cond = None
+            for f in cfg.deterministic_fields:
+                eq = (
+                    F.col(f"a_{f}").isNotNull()
+                    & F.col(f"b_{f}").isNotNull()
+                    & (F.col(f"a_{f}") == F.col(f"b_{f}"))
+                )
+                det_cond = eq if det_cond is None else (det_cond & eq)
+            det = scored.where(det_cond).select(
+                "a_rec_id", "b_rec_id", F.lit(1.0).alias("zeta")
+            )
+            fs = fs.unionByName(det).dropDuplicates(["a_rec_id", "b_rec_id"])
+        return fs
+
+    matched = ckpt.stage("matched_pairs", _build_matched, inputs=("pairs_gamma",))
 
     nodes = records.select("rec_id")
     labels = ckpt.stage(

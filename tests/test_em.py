@@ -110,3 +110,22 @@ def test_three_level_fields():
     assert res.m["g1"][2] == pytest.approx(0.8, abs=0.05)
     assert res.u["g1"][0] == pytest.approx(0.9, abs=0.05)
     _ = rng
+
+
+def test_no_phantom_nan_levels_from_float_columns():
+    # pattern tables arriving from Spark toPandas have float64 gamma
+    # columns with NaN; levels must be pure ints with NO NaN entry
+    # (regression: list reassignment re-coerced None back to NaN)
+    patt = pd.DataFrame(
+        {
+            "g1": [0.0, 1.0, 2.0, np.nan, 2.0],
+            "g2": [0, 1, 2, 0, None],
+            "cnt": [100, 50, 20, 10, 30],
+        }
+    )
+    res = emlink_mar(patt, ["g1", "g2"])
+    assert res.levels == {"g1": [0, 1, 2], "g2": [0, 1, 2]}
+    assert all(len(res.m[c]) == 3 for c in ("g1", "g2"))
+    import json as _json
+
+    _json.loads(res.to_json())  # strict-JSON safe (no NaN tokens)
