@@ -4,10 +4,14 @@
 sf0.001 documents rendered as Common-Crawl-style pages. ``queries()``
 exposes each implemented operator from SURVEY.md §2 (+ the mandated
 training-data ops) as a (spark, sf_dir) callable; ``oracle_sql()``
-gives the DuckDB-equivalent SQL where the op is SQL-expressible
-(JW-scored and hash-based ops are rows-only by design — xxhash64 and
-stringdist-JW have no DuckDB twin; DuckDB's jaro_winkler counts
-transpositions differently, verified in tests/test_jw.py).
+gives the DuckDB-equivalent SQL for EVERY query (23/23): hash-based ops
+use an md5-prefix twin hash DuckDB reproduces bit-exactly, LSH ops emit
+exact-verified (or pigeonhole-guaranteed) outputs, the EM oracles the
+pattern->zeta identity with the fit injected as literals, and CC is
+checked against a recursive-CTE transitive closure. (stringdist-JW
+itself has no DuckDB twin — DuckDB's jaro_winkler counts transpositions
+differently, verified in tests/test_jw.py — so JW is covered by pytest
+goldens/fuzz plus the pipeline F1 gate rather than a JW-scored query.)
 """
 
 from __future__ import annotations
@@ -266,62 +270,132 @@ def q14_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- rows-only queries (hash/JW-based: no DuckDB twin by design) ----------
+# --- q15..q20: engine-core queries, each with a hard DuckDB oracle --------
+#
+# r1 shipped these rows-only; r2 restructures each to be EXACTLY
+# SQL-checkable: q15 emits LSH candidates exact-VERIFIED by shingle
+# Jaccard (the verified set == the exact threshold set; LSH recall
+# checked), q16 uses the pigeonhole chunk tables (recall GUARANTEED) over
+# an md5-twin fingerprint DuckDB recomputes bit-exactly, q17 oracles the
+# zeta identity with the fit injected as literals, q18 swaps xxhash64 for
+# the md5-twin hash, q19 uses the min-id centroid rule (fully
+# SQL-expressible), q20 runs large-star/small-star against a recursive-CTE
+# CC over the exact same-source Jaccard edge set.
 
 def q15_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fastlink_spark.operators.dedup import minhash_lsh_pairs
+    """MinHash-LSH candidates exact-verified at 5-token-shingle
+    Jaccard >= 0.8 (id_a, id_b, n_inter, n_union). LSH miss prob at the
+    threshold is (1-0.8^4)^16 ~ 2e-4; the oracle (full exact pair scan)
+    catches any miss as a row-count diff."""
+    from fastlink_spark.operators.dedup import minhash_near_dup_pairs
 
-    return minhash_lsh_pairs(_docs(spark, sf_dir), "doc_id", "text")
+    return minhash_near_dup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", w=5, min_jaccard=0.8
+    )
 
 
 def q16_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs within SimHash Hamming <= 3 over the 60-bit md5-twin
+    fingerprint. 4 chunk tables of 15 bits: pigeonhole GUARANTEES every
+    pair within radius 3 collides in >=1 table, so the output is the
+    exact Hamming ball — matching the oracle's brute-force scan."""
     from fastlink_spark.operators.dedup import simhash_pairs_multi
 
-    return simhash_pairs_multi(_docs(spark, sf_dir), "doc_id", "text", max_hamming=16)
+    return simhash_pairs_multi(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        max_hamming=3,
+        n_tables=4,
+        bits=60,
+        hash_impl="md5",
+    )
+
+
+def _fit_zeta_rows(patt_pdf) -> list[tuple]:
+    """Deterministic EM fit over a (gamma_lang, gamma_n_chars, cnt)
+    pattern table -> [(gamma_lang, gamma_n_chars, zeta)] with zeta
+    rounded driver-side. Shared by q17's Spark query AND its DuckDB
+    oracle so both carry bit-identical zeta literals; rows are sorted
+    first so float accumulation order is identical on both paths."""
+    import pandas as pd
+
+    from fastlink_spark.em import apply_em, emlink_mar
+
+    gcols = ["gamma_lang", "gamma_n_chars"]
+    pdf = patt_pdf.copy().sort_values(gcols, na_position="last").reset_index(drop=True)
+    em = emlink_mar(pdf, gcols, p_m=0.1)
+    z = apply_em(pdf, em)
+    return [
+        (
+            None if pd.isna(r["gamma_lang"]) else int(r["gamma_lang"]),
+            None if pd.isna(r["gamma_n_chars"]) else int(r["gamma_n_chars"]),
+            round(float(r["zeta"]), 6),
+        )
+        for _, r in z.iterrows()
+    ]
 
 
 def q17_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mini end-to-end EM fit on documents-as-pages; returns per-field
-    per-level EM parameters (driver NumPy emlinkMARmov)."""
-    from fastlink_spark.plans.pipeline import LinkageConfig, link_dedupe
+    """Distributed gamma-pattern aggregation + driver-NumPy emlinkMARmov
+    + broadcast zeta join — the EM data path end-to-end. Output
+    (gamma_lang, gamma_n_chars, cnt, zeta); the oracle recomputes the
+    pattern table in SQL and injects the identical fit as literals."""
+    from fastlink_spark.operators.gammas import FieldSpec, pattern_counts, with_gammas
 
-    pages = _docs_as_pages(_docs(spark, sf_dir))
-    res = link_dedupe(spark, pages, LinkageConfig())
-    rows = []
-    for c in res.em.gamma_cols:
-        for li, lv in enumerate(res.em.levels[c]):
-            rows.append(
-                (c, int(lv), float(round(res.em.m[c][li], 6)), float(round(res.em.u[c][li], 6)))
-            )
-    return spark.createDataFrame(rows, "field string, level int, m double, u double")
+    pairs = _doc_pairs_by_source(spark, sf_dir, force_salting=False)
+    fields = [FieldSpec("lang", "exact"), FieldSpec("n_chars", "numeric", 10.0, 50.0)]
+    patt = pattern_counts(with_gammas(pairs, fields), fields)
+    zdf = spark.createDataFrame(
+        _fit_zeta_rows(patt.toPandas()), "gamma_lang int, gamma_n_chars int, zeta double"
+    )
+    cond = patt["gamma_lang"].eqNullSafe(zdf["gamma_lang"]) & patt["gamma_n_chars"].eqNullSafe(
+        zdf["gamma_n_chars"]
+    )
+    return patt.join(F.broadcast(zdf), cond).select(
+        patt["gamma_lang"], patt["gamma_n_chars"], "cnt", "zeta"
+    )
 
 
 def q18_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint counts over the md5-twin window hash
+    (0 mod 8 selection); DuckDB recomputes the same hash bit-exactly."""
     from fastlink_spark.functions.textmeta import rolling_fingerprints
 
     d = _docs(spark, sf_dir)
+    rf = rolling_fingerprints(F.col("text"), hash_impl="md5")
     return d.select(
-        "doc_id", F.size(rolling_fingerprints(F.col("text"))).cast("long").alias("n_fingerprints")
+        "doc_id",
+        F.when(rf.isNotNull(), F.size(rf)).otherwise(F.lit(0)).cast("long").alias("n_fingerprints"),
     )
 
 
 def q19_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the min-id centroid rule (SQL-expressible twin of
+    the production hash rule); output (query_id, neighbor_id, rank)."""
     from fastlink_spark.operators.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
     )
     queries = emb.where(F.col("vec_id") < 20)
-    return ivf_topk(emb, queries, "vec_id", "vec", k=5, n_cells=16, n_probe=4)
+    out = ivf_topk(
+        emb, queries, "vec_id", "vec", k=5, n_cells=16, n_probe=4, centroid_rule="min_id"
+    )
+    return out.select("query_id", "neighbor_id", "rank")
 
 
 def q20_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """large-star/small-star CC over 3-gram-similar doc pairs."""
+    """large-star/small-star CC over the EXACT same-source 3-gram
+    Jaccard >= 0.3 edge set (the q10-oracled edges), so the cluster
+    labels are checkable against a recursive-CTE CC in DuckDB."""
     from fastlink_spark.operators.cluster import connected_components
-    from fastlink_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from fastlink_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _docs(spark, sf_dir)
-    cand = minhash_lsh_pairs(docs, "doc_id", "text")
+    cand = _doc_pairs_by_source(spark, sf_dir, force_salting=False).select(
+        F.col("a_rec_id").alias("id_a"), F.col("b_rec_id").alias("id_b")
+    )
     edges = ngram_jaccard_pairs(cand, docs, "doc_id", "text", n=3, min_jaccard=0.3).select(
         "id_a", "id_b"
     )
@@ -413,6 +487,67 @@ _SQL_TOKS = (
     "list_filter(regexp_split_to_array(lower(coalesce({c}, '')), '[^a-z0-9]+'), x -> x <> '')"
 )
 
+# DuckDB twin of fastlink_spark.operators.dedup.ngram_jaccard_pairs's
+# gram sets: w-token shingles, distinct, EMPTY set for zero-token docs
+# (never a single ''-gram) — mirrors the Spark-side guard.
+def _grams_sql(w: int) -> str:
+    return (
+        f"CASE WHEN len(t) > 0 THEN list_distinct(list_transform("
+        f"range(0, greatest(len(t) - {w}, 0) + 1), "
+        f"i -> array_to_string(t[i+1:i+{w}], ' '))) ELSE []::VARCHAR[] END"
+    )
+
+
+# DuckDB twin of simhash.md5_hash60 (verified bit-exact vs Spark's
+# conv(substr(md5(x),1,15),16,10))
+def _h60_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}),1,15))::BIGINT"
+
+
+# shared by q03's oracle and q17's literal-injected fit: the gamma
+# pattern table over same-source doc pairs ({docs} = view or
+# read_parquet(...))
+_Q03_PATTERN_SQL = (
+    "WITH p AS (SELECT a.lang AS la, b.lang AS lb, a.n_chars AS na, b.n_chars AS nb "
+    " FROM {docs} a JOIN {docs} b ON a.source = b.source AND a.doc_id < b.doc_id) "
+    "SELECT CASE WHEN la IS NULL OR lb IS NULL THEN NULL WHEN la = lb THEN 2 ELSE 0 END AS gamma_lang, "
+    " CASE WHEN na IS NULL OR nb IS NULL THEN NULL WHEN abs(na - nb) <= 10 THEN 2 "
+    "      WHEN abs(na - nb) <= 50 THEN 1 ELSE 0 END AS gamma_n_chars, "
+    " count(*) AS cnt FROM p GROUP BY 1, 2"
+)
+
+
+def _q17_oracle_sql() -> str:
+    """q17's oracle is built at call time: compute the pattern table in
+    DuckDB from the same parquet, run the IDENTICAL deterministic fit
+    (_fit_zeta_rows), and inject the zetas as SQL literals — the oracle
+    then checks both the distributed pattern aggregation AND the
+    pattern->zeta identity."""
+    import os
+
+    import duckdb
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    patt = con.execute(
+        _Q03_PATTERN_SQL.format(docs=f"read_parquet('{sf}/documents.parquet')")
+    ).df()
+    vals = ", ".join(
+        "({}, {}, CAST({!r} AS DOUBLE))".format(
+            "CAST(NULL AS INTEGER)" if a is None else a,
+            "CAST(NULL AS INTEGER)" if b is None else b,
+            z,
+        )
+        for a, b, z in _fit_zeta_rows(patt)
+    )
+    return (
+        "WITH patt AS (" + _Q03_PATTERN_SQL.format(docs="documents") + "), "
+        f"z(gamma_lang, gamma_n_chars, zeta) AS (VALUES {vals}) "
+        "SELECT patt.gamma_lang, patt.gamma_n_chars, patt.cnt, z.zeta FROM patt JOIN z "
+        "ON patt.gamma_lang IS NOT DISTINCT FROM z.gamma_lang "
+        "AND patt.gamma_n_chars IS NOT DISTINCT FROM z.gamma_n_chars"
+    )
+
 
 def oracle_sql() -> dict[str, str]:
     toks = _SQL_TOKS.format(c="text")
@@ -427,14 +562,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a "
             "JOIN documents b ON a.source = b.source AND a.doc_id < b.doc_id"
         ),
-        "q03_gamma_patterns": (
-            "WITH p AS (SELECT a.lang AS la, b.lang AS lb, a.n_chars AS na, b.n_chars AS nb "
-            " FROM documents a JOIN documents b ON a.source = b.source AND a.doc_id < b.doc_id) "
-            "SELECT CASE WHEN la IS NULL OR lb IS NULL THEN NULL WHEN la = lb THEN 2 ELSE 0 END AS gamma_lang, "
-            " CASE WHEN na IS NULL OR nb IS NULL THEN NULL WHEN abs(na - nb) <= 10 THEN 2 "
-            "      WHEN abs(na - nb) <= 50 THEN 1 ELSE 0 END AS gamma_n_chars, "
-            " count(*) AS cnt FROM p GROUP BY 1, 2"
-        ),
+        "q03_gamma_patterns": _Q03_PATTERN_SQL.format(docs="documents"),
         "q04_winner_take_all": (
             "WITH p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, abs(a.n_chars - b.n_chars) AS diff "
             " FROM documents a JOIN documents b ON a.source = b.source AND a.doc_id < b.doc_id), "
@@ -472,8 +600,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q10_ngram_jaccard": (
             f"WITH tk AS (SELECT doc_id, {toks} AS t FROM documents), "
-            "g AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1), "
-            "      i -> array_to_string(t[i+1:i+3], ' '))) AS grams FROM tk), "
+            f"g AS (SELECT doc_id, {_grams_sql(3)} AS grams FROM tk), "
             "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a "
             "      JOIN documents b ON a.source = b.source AND a.doc_id < b.doc_id) "
             "SELECT p.id_a, p.id_b, "
@@ -481,6 +608,76 @@ def oracle_sql() -> dict[str, str]:
             " CAST(len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS n_union "
             "FROM p JOIN g ga ON ga.doc_id = p.id_a JOIN g gb ON gb.doc_id = p.id_b "
             "WHERE len(list_intersect(ga.grams, gb.grams)) > 0"
+        ),
+        "q15_minhash_candidates": (
+            f"WITH tk AS (SELECT doc_id, {toks} AS t FROM documents), "
+            f"g AS (SELECT doc_id, {_grams_sql(5)} AS grams FROM tk), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "   CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS n_inter, "
+            "   CAST(len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) AS BIGINT) AS n_union "
+            "  FROM documents a JOIN documents b ON a.doc_id < b.doc_id "
+            "  JOIN g ga ON ga.doc_id = a.doc_id JOIN g gb ON gb.doc_id = b.doc_id) "
+            "SELECT id_a, id_b, n_inter, n_union FROM p "
+            "WHERE n_union > 0 AND CAST(n_inter AS DOUBLE) / n_union >= 0.8"
+        ),
+        "q16_simhash_pairs": (
+            f"WITH tk AS (SELECT doc_id, {toks} AS t FROM documents), "
+            "tok AS (SELECT doc_id, len(t) AS n, unnest(t) AS tok FROM tk WHERE len(t) > 0), "
+            f"h AS (SELECT doc_id, n, {_h60_sql('tok')} AS h FROM tok), "
+            "bb AS (SELECT doc_id, b, max(n) AS n, "
+            "   sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE 0 END) AS cnt "
+            "  FROM h, (SELECT unnest(range(60)) AS b) bs GROUP BY doc_id, b), "
+            "fp AS (SELECT doc_id, CAST(sum(CASE WHEN cnt * 2 > n THEN (1::BIGINT << b) "
+            "   ELSE 0 END) AS BIGINT) AS f FROM bb GROUP BY doc_id) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            " CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming "
+            "FROM fp a JOIN fp b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.f, b.f)) <= 3"
+        ),
+        "q17_linkage_em": _q17_oracle_sql(),
+        "q18_fingerprints": (
+            f"WITH tk AS (SELECT doc_id, {toks} AS t FROM documents) "
+            "SELECT doc_id, CAST(CASE WHEN len(t) > 0 THEN "
+            " len(list_filter(list_transform(range(0, greatest(len(t) - 8, 0) + 1), "
+            "   i -> " + _h60_sql("array_to_string(t[i+1:i+8], ' ')") + "), "
+            " h -> h % 8 = 0)) ELSE 0 END AS BIGINT) AS n_fingerprints FROM tk"
+        ),
+        "q19_ivf_topk": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "cent AS (SELECT vec_id AS cell, v AS cvec FROM e ORDER BY vec_id ASC LIMIT 16), "
+            "ca AS (SELECT vec_id, cell FROM ("
+            "  SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id "
+            "    ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.cell ASC) AS r "
+            "  FROM e CROSS JOIN cent c) WHERE r = 1), "
+            "qa AS (SELECT vec_id, cell FROM ("
+            "  SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id "
+            "    ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.cell ASC) AS r "
+            "  FROM e CROSS JOIN cent c WHERE e.vec_id < 20) WHERE r <= 4), "
+            "s AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, "
+            "  list_cosine_similarity(qe.v, ne.v) AS cosine "
+            "  FROM qa q JOIN ca n ON q.cell = n.cell AND q.vec_id <> n.vec_id "
+            "  JOIN e qe ON qe.vec_id = q.vec_id JOIN e ne ON ne.vec_id = n.vec_id), "
+            "r AS (SELECT query_id, neighbor_id, row_number() OVER "
+            "  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s) "
+            "SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5"
+        ),
+        "q20_connected_components": (
+            "WITH RECURSIVE "
+            f"tk AS (SELECT doc_id, {toks} AS t FROM documents), "
+            f"g AS (SELECT doc_id, {_grams_sql(3)} AS grams FROM tk), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a "
+            "  JOIN documents b ON a.source = b.source AND a.doc_id < b.doc_id), "
+            "j AS (SELECT p.id_a, p.id_b, "
+            "  len(list_intersect(ga.grams, gb.grams)) AS ni, "
+            "  len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) AS nu "
+            "  FROM p JOIN g ga ON ga.doc_id = p.id_a JOIN g gb ON gb.doc_id = p.id_b), "
+            "ed AS (SELECT id_a, id_b FROM j WHERE nu > 0 AND CAST(ni AS DOUBLE) / nu >= 0.3), "
+            "e AS (SELECT id_a AS s, id_b AS d FROM ed UNION ALL SELECT id_b, id_a FROM ed), "
+            "walk(id, comp) AS ("
+            "  SELECT doc_id, doc_id FROM documents "
+            "  UNION "
+            "  SELECT e.d, w.comp FROM walk w JOIN e ON e.s = w.id) "
+            "SELECT id, min(comp) AS cluster_id FROM walk GROUP BY id"
         ),
         "q11_embedding_topk": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
@@ -542,6 +739,4 @@ def oracle_sql() -> dict[str, str]:
             " + (CASE WHEN ar >= 6000 THEN 30 WHEN ar >= 3000 THEN 15 ELSE 0 END) "
             " + (CASE WHEN sr >= 100 THEN 30 ELSE 10 END) AS INT) AS q FROM r"
         ),
-        # q15..q20: hash/JW/EM/CC-based — deliberately no SQL oracle
-        # (rows-only check); see module docstring.
     }

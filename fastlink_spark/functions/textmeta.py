@@ -104,15 +104,24 @@ def quality_score(text: Column) -> Column:
     return (len_ok + alpha_ok + stop_ok).cast("int")
 
 
-def rolling_fingerprints(text: Column, w: int = 8, keep_mod: int = 8) -> Column:
-    """Document fingerprints: xxhash64 of each w-token window, keeping
+def rolling_fingerprints(
+    text: Column, w: int = 8, keep_mod: int = 8, *, hash_impl: str = "xxhash64"
+) -> Column:
+    """Document fingerprints: hash of each w-token window, keeping
     hashes ≡ 0 (mod keep_mod) — a deterministic winnowing-style sketch
-    (MOSS-like 0-mod-p selection). array<bigint>."""
+    (MOSS-like 0-mod-p selection). array<bigint>.
+
+    hash_impl='xxhash64' (production, one JVM op per window) or 'md5'
+    (60-bit md5-prefix — the oracle-twin hash DuckDB reproduces
+    bit-exactly; see simhash.md5_hash60)."""
+    from .simhash import md5_hash60
+
+    hash_fn = F.xxhash64 if hash_impl == "xxhash64" else md5_hash60
     toks = tokens(text)
     n = F.size(toks)
     wins = F.transform(
         F.sequence(F.lit(0), F.greatest(n - F.lit(w), F.lit(0))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + F.lit(1), F.lit(w)))),
+        lambda i: hash_fn(F.concat_ws(" ", F.slice(toks, i + F.lit(1), F.lit(w)))),
     )
     sel = F.filter(wins, lambda h: F.pmod(h, F.lit(keep_mod)) == 0)
     return F.when(n > 0, sel)

@@ -71,8 +71,11 @@ def connected_components(
     max_iter: int | None = None,
     on_round: Callable[[int, DataFrame], DataFrame] | None = None,
 ) -> DataFrame:
-    """Edges ``(u, v)`` (any orientation, long ids) -> ``(id, cluster_id)``
-    with cluster_id = min node id of the component.
+    """Edges ``(u, v)`` (any orientation; any orderable id type — long
+    hashes or wide hex-string keys) -> ``(id, cluster_id)`` with
+    cluster_id = min node id of the component. For 10^12-node graphs
+    prefer dense long ids (``dense_long_ids`` below) over wide string
+    keys: every round shuffles the ids twice.
 
     `nodes`: optional single-column ('id') universe; nodes without edges
     come back as singleton clusters (cluster_id = id).
@@ -81,8 +84,8 @@ def connected_components(
     the pipeline to checkpoint rounds to disk for resume).
     """
     e = edges.select(
-        F.col(edges.columns[0]).cast("long").alias("u"),
-        F.col(edges.columns[1]).cast("long").alias("v"),
+        F.col(edges.columns[0]).alias("u"),
+        F.col(edges.columns[1]).alias("v"),
     ).where(F.col("u") != F.col("v")).distinct()
     e = e.localCheckpoint(eager=True)
 
@@ -118,9 +121,38 @@ def connected_components(
     labels = labels.union(roots).groupBy("id").agg(F.min("cluster_id").alias("cluster_id"))
 
     if nodes is not None:
-        nodes_n = nodes.select(F.col(nodes.columns[0]).cast("long").alias("id"))
+        nodes_n = nodes.select(F.col(nodes.columns[0]).alias("id"))
         labels = (
             nodes_n.join(labels, "id", "left")
             .select("id", F.coalesce("cluster_id", "id").alias("cluster_id"))
         )
     return labels
+
+
+def dense_long_ids(df: DataFrame, key_col: str) -> DataFrame:
+    """(key) -> (key, dense_id long): collision-free dense longs for CC
+    over wide (128-bit / string) record keys at 10^12 scale, where a
+    64-bit hash would merge ~1e4 unrelated clusters by birthday
+    collisions. Scalable pattern: per-partition row_number + broadcast
+    partition offsets (one tiny collect of partition counts — NO global
+    sort). Deterministic once the input is a materialized (checkpointed)
+    stage, which is how the pipeline uses it."""
+    from pyspark.sql import Window
+
+    part = df.select(key_col).distinct().withColumn("__pid", F.spark_partition_id())
+    counts = part.groupBy("__pid").count().collect()
+    offs, acc = {}, 0
+    for r in sorted(counts, key=lambda r: r["__pid"]):
+        offs[r["__pid"]] = acc
+        acc += r["count"]
+    odf = part.sparkSession.createDataFrame(
+        list(offs.items()), "__pid int, __off long"
+    )
+    w = Window.partitionBy("__pid").orderBy(key_col)
+    return (
+        part.join(F.broadcast(odf), "__pid")
+        .select(
+            key_col,
+            (F.row_number().over(w) + F.col("__off") - 1).cast("long").alias("dense_id"),
+        )
+    )

@@ -4,10 +4,15 @@ embedding-cosine near-dup. Driver-mandated first-class components
 beyond the reference's ER scope.
 
 Scale notes: exact dedupe is one hash aggregation (map-side combined);
-MinHash-LSH is explode→shuffle-on-band→within-bucket pairs (bounded by
-bucket size, same salted-join machinery available via operators.pairs);
-n-gram Jaccard / cosine verify ONLY candidate pairs, never the cross
-product.
+every LSH bucket join (minhash bands / simhash tables / hyperplane
+buckets) is routed through ``operators.pairs.candidate_pairs`` — the
+profiled, triangle-salted self-join — so a hot bucket (one popular band
+value on a boilerplate-heavy corpus) is split into bounded sub-joins
+instead of an O(n^2) single task. n-gram Jaccard / cosine verify ONLY
+candidate pairs, never the cross product. Inputs are spread across
+cores only when the scan yields fewer partitions than cores
+(``_spread``) — at 100TB the scan already yields thousands of splits
+and no repartition happens.
 """
 
 from __future__ import annotations
@@ -18,6 +23,42 @@ from pyspark.sql import functions as F
 from ..functions import minhash as mh
 from ..functions import simhash as sh
 from ..functions.textmeta import tokens
+from .pairs import DEFAULT_SKEW_THRESHOLD, DEFAULT_TARGET_BLOCK, candidate_pairs
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition ONLY if the input arrives in fewer partitions than
+    cores (small local parquet = 1 split); a large scan already has
+    thousands of splits and must not be reshuffled just to spread CPU."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
+def _bucket_pairs(
+    bucketed: DataFrame,
+    id_col: str,
+    attr_cols: list[str],
+    *,
+    skew_threshold: int,
+    target_block: int,
+) -> DataFrame:
+    """(block_key, id, attrs...) -> canonical (id_a < id_b) pairs via the
+    salted triangle self-join (operators.pairs), deduped across buckets.
+    Output columns: id_a, id_b, a_<attr>, b_<attr>."""
+    pairs = candidate_pairs(
+        bucketed,
+        id_col=id_col,
+        skew_threshold=skew_threshold,
+        target_block=target_block,
+    )
+    return pairs.select(
+        F.col(f"a_{id_col}").alias("id_a"),
+        F.col(f"b_{id_col}").alias("id_b"),
+        *[F.col(f"a_{c}").alias(f"a_{c}") for c in attr_cols],
+        *[F.col(f"b_{c}").alias(f"b_{c}") for c in attr_cols],
+    )
 
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -41,24 +82,57 @@ def minhash_lsh_pairs(
     w: int = mh.DEFAULT_SHINGLE_W,
     bands: int = mh.DEFAULT_BANDS,
     rows_per_band: int = mh.DEFAULT_ROWS_PER_BAND,
+    skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
+    target_block: int = DEFAULT_TARGET_BLOCK,
 ) -> DataFrame:
     """Near-dup candidate pairs (id_a < id_b) colliding in >=1 LSH band.
-    shingle→minhash→band→bucket-join; pair space bounded by bucket
-    sizes, deduped across bands."""
-    # repartition: small parquet inputs arrive as 1 partition — spread the
-    # (CPU-heavy) signature computation across cores; then EAGERLY
+    shingle→minhash→band→salted bucket self-join; hot bands are
+    triangle-salted (pairs.candidate_pairs), deduped across bands."""
+    # _spread: spread the (CPU-heavy) signature computation; then EAGERLY
     # materialize before explode (HOF arrays inlined into Generate are
     # evaluated pathologically — see minhash.py plan-size note).
-    src = df.select(id_col, text_col).repartition(df.sparkSession.sparkContext.defaultParallelism)
-    keyed = mh.add_minhash_bands(src, text_col, "bk", w=w, bands=bands, rows_per_band=rows_per_band).localCheckpoint(eager=True)
-    exploded = keyed.select(F.col(id_col).alias("id"), F.explode("bk").alias("band"))
-    a = exploded.select(F.col("band"), F.col("id").alias("id_a"))
-    b = exploded.select(F.col("band").alias("band_b"), F.col("id").alias("id_b"))
-    return (
-        a.join(b, (a["band"] == b["band_b"]) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    src = _spread(df.select(id_col, text_col))
+    keyed = mh.add_minhash_bands(
+        src, text_col, "bk", w=w, bands=bands, rows_per_band=rows_per_band
+    ).localCheckpoint(eager=True)
+    bucketed = keyed.select(
+        F.explode("bk").alias("block_key"), F.col(id_col).alias("id")
     )
+    return _bucket_pairs(
+        bucketed, "id", [], skew_threshold=skew_threshold, target_block=target_block
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    w: int = mh.DEFAULT_SHINGLE_W,
+    bands: int = mh.DEFAULT_BANDS,
+    rows_per_band: int = mh.DEFAULT_ROWS_PER_BAND,
+    min_jaccard: float = 0.8,
+    skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
+    target_block: int = DEFAULT_TARGET_BLOCK,
+) -> DataFrame:
+    """MinHash-LSH candidates EXACT-verified with w-token-shingle
+    Jaccard >= min_jaccard: (id_a, id_b, n_inter, n_union). The output
+    is the verified near-dup set, not raw hash collisions — with enough
+    bands the LSH miss probability at J=t is (1-t^r)^b (~2e-4 at t=0.8,
+    b=16, r=4), so the verified set equals the exact-threshold set with
+    overwhelming probability (oracle-checked exactly at test SF)."""
+    cand = minhash_lsh_pairs(
+        df,
+        id_col,
+        text_col,
+        w=w,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        skew_threshold=skew_threshold,
+        target_block=target_block,
+    )
+    verified = ngram_jaccard_pairs(cand, df, id_col, text_col, n=w, min_jaccard=min_jaccard)
+    return verified.select("id_a", "id_b", "n_inter", "n_union")
 
 
 def ngram_jaccard_pairs(
@@ -72,18 +146,23 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Verify candidate pairs with exact n-gram (token shingle) Jaccard.
     Output: (id_a, id_b, n_inter, n_union, jaccard). Set sizes are
-    integers so correctness oracles compare exactly."""
+    integers so correctness oracles compare exactly. Zero-token docs get
+    an EMPTY gram set (never a single ''-gram): two empty docs score
+    jaccard 0, not 1."""
+    toks = tokens(F.col("__t"))
+    gram_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(n), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), F.lit(n))),
+        )
+    )
     grams = (
-        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
-        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        _spread(docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")))
         .select(
             "id",
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size(tokens(F.col("__t"))) - F.lit(n), F.lit(0))),
-                    lambda i: F.concat_ws(" ", F.slice(tokens(F.col("__t")), i + F.lit(1), F.lit(n))),
-                )
-            ).alias("grams"),
+            F.when(F.size(toks) > 0, gram_arr)
+            .otherwise(F.array().cast("array<string>"))
+            .alias("grams"),
         )
         .localCheckpoint(eager=True)
     )
@@ -108,6 +187,20 @@ def ngram_jaccard_pairs(
     return out
 
 
+def _simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, *, hash_impl: str = "xxhash64"
+) -> DataFrame:
+    return (
+        _spread(df.select(id_col, text_col))
+        .select(
+            F.col(id_col).alias("id"),
+            sh.simhash(F.col(text_col), hash_impl=hash_impl).alias("fp"),
+        )
+        .where(F.col("fp").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -115,29 +208,27 @@ def simhash_pairs(
     *,
     max_hamming: int = 3,
     prefix_bits: int = 16,
+    skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
+    target_block: int = DEFAULT_TARGET_BLOCK,
 ) -> DataFrame:
     """SimHash near-dups: block on the top `prefix_bits` of the
     fingerprint (cheap LSH for small Hamming radii), verify exact
     Hamming <= max_hamming. Output (id_a, id_b, hamming).
 
     NOTE single-prefix blocking misses pairs differing within the
-    prefix; the standard multi-table rotation (4 tables of 16 bits for
-    r<=3) is exposed via `n_tables` in simhash_pairs_multi below."""
-    fp = (
-        df.select(id_col, text_col)
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
-        .select(F.col(id_col).alias("id"), sh.simhash(F.col(text_col)).alias("fp"))
-        .where(F.col("fp").isNotNull())
-        .localCheckpoint(eager=True)
+    prefix; the chunk-table variant with the pigeonhole recall
+    GUARANTEE is simhash_pairs_multi below."""
+    fp = _simhash_fingerprints(df, id_col, text_col)
+    bucketed = fp.select(
+        F.shiftrightunsigned("fp", 64 - prefix_bits).cast("string").alias("block_key"),
+        "id",
+        "fp",
     )
-    keyed = fp.withColumn("blk", F.shiftrightunsigned("fp", 64 - prefix_bits))
-    a = keyed.select(F.col("blk"), F.col("id").alias("id_a"), F.col("fp").alias("fp_a"))
-    b = keyed.select(
-        F.col("blk").alias("blk_b"), F.col("id").alias("id_b"), F.col("fp").alias("fp_b")
+    p = _bucket_pairs(
+        bucketed, "id", ["fp"], skew_threshold=skew_threshold, target_block=target_block
     )
     return (
-        a.join(b, (a["blk"] == b["blk_b"]) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("hamming", sh.hamming64(F.col("fp_a"), F.col("fp_b")).cast("int"))
+        p.withColumn("hamming", sh.hamming64(F.col("a_fp"), F.col("b_fp")).cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
@@ -150,41 +241,45 @@ def simhash_pairs_multi(
     *,
     max_hamming: int = 3,
     n_tables: int = 4,
+    bits: int = 64,
+    hash_impl: str = "xxhash64",
+    skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
+    target_block: int = DEFAULT_TARGET_BLOCK,
 ) -> DataFrame:
-    """Rotation-table SimHash LSH: block on each of n_tables 16-bit
-    slices; a pair within Hamming r < n_tables collides in >=1 table
-    (pigeonhole). Exact-verify then dedupe."""
-    fp = (
-        df.select(id_col, text_col)
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
-        .select(F.col(id_col).alias("id"), sh.simhash(F.col(text_col)).alias("fp"))
-        .where(F.col("fp").isNotNull())
-        .localCheckpoint(eager=True)
-    )
-    bits = 64 // n_tables
+    """Chunk-table SimHash LSH: block on each of n_tables bit slices of
+    the fingerprint; by pigeonhole a pair within Hamming r < n_tables
+    MUST agree exactly on >=1 slice, so recall at radius
+    max_hamming <= n_tables - 1 is 100% GUARANTEED (not probabilistic).
+    Exact-verify Hamming then dedupe across tables. Hot slices are
+    triangle-salted via pairs.candidate_pairs.
+
+    hash_impl='md5' + bits=60 gives the oracle-twin fingerprint (DuckDB
+    computes the identical value — see simhash.md5_hash60)."""
+    fp = _simhash_fingerprints(df, id_col, text_col, hash_impl=hash_impl)
+    per = bits // n_tables
     # per-table keys built explicitly: n_tables is tiny, the union is
     # cheap and the plan stays small
     parts = []
     for t in range(n_tables):
+        width = per if t < n_tables - 1 else bits - per * (n_tables - 1)
         key = F.concat_ws(
             ":",
             F.lit(str(t)),
-            F.shiftrightunsigned(F.col("fp"), t * bits).bitwiseAND(F.lit((1 << bits) - 1)).cast("string"),
+            F.shiftrightunsigned(F.col("fp"), t * per)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .cast("string"),
         )
-        parts.append(fp.select("id", "fp", key.alias("blk")))
+        parts.append(fp.select(key.alias("block_key"), "id", "fp"))
     tabs = parts[0]
     for p in parts[1:]:
         tabs = tabs.unionByName(p)
-    a = tabs.select("blk", F.col("id").alias("id_a"), F.col("fp").alias("fp_a"))
-    b = tabs.select(
-        F.col("blk").alias("blk_b"), F.col("id").alias("id_b"), F.col("fp").alias("fp_b")
+    out = _bucket_pairs(
+        tabs, "id", ["fp"], skew_threshold=skew_threshold, target_block=target_block
     )
     return (
-        a.join(b, (a["blk"] == b["blk_b"]) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("hamming", sh.hamming64(F.col("fp_a"), F.col("fp_b")).cast("int"))
+        out.withColumn("hamming", sh.hamming64(F.col("a_fp"), F.col("b_fp")).cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -205,6 +300,8 @@ def embedding_dup_pairs(
     *,
     min_cosine: float = 0.95,
     n_buckets_hint: int | None = None,
+    skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
+    target_block: int = DEFAULT_TARGET_BLOCK,
 ) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH bucketing +
     exact cosine verify. Deterministic hyperplanes (xxhash64-seeded
@@ -236,17 +333,16 @@ def embedding_dup_pairs(
         )
 
     keyed = (
-        v.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+        _spread(v)
         .withColumn("bkt", bucket_bits(F.col("vec")))
         .localCheckpoint(eager=True)
     )
-    a = keyed.select("bkt", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
-    b = keyed.select(
-        F.col("bkt").alias("bkt_b"), F.col("id").alias("id_b"), F.col("vec").alias("vec_b")
+    bucketed = keyed.select(F.col("bkt").cast("string").alias("block_key"), "id", "vec")
+    p = _bucket_pairs(
+        bucketed, "id", ["vec"], skew_threshold=skew_threshold, target_block=target_block
     )
     return (
-        a.join(b, (a["bkt"] == b["bkt_b"]) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("cosine", cosine_sim(F.col("vec_a"), F.col("vec_b")))
+        p.withColumn("cosine", cosine_sim(F.col("a_vec"), F.col("b_vec")))
         .where(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
     )

@@ -2,22 +2,151 @@
 (SURVEY.md J8/G11/W1).
 
 The reference offers two modes: linear-sum-assignment via lpSolve
-(``linprog=TRUE``) and greedy winner-take-all. Spark-first: the greedy
-mode is two ranked-window passes iterated to a fixpoint (each pass is
-one shuffle); the exact LSAP mode is NOT ported (lpSolve/scipy absent;
-greedy matches the reference's default behavior for its test suite and
-differs only on zeta ties inside dense bipartite blocks).
+(``linprog=TRUE``) and greedy winner-take-all; both are ported.
 
-Greedy fixpoint semantics: repeatedly accept pairs that are the current
-best (by zeta desc, deterministic tie-break) for BOTH endpoints, remove
-matched endpoints, repeat. This reproduces sequential greedy matching
-exactly, in O(rounds) shuffles instead of a driver loop over pairs.
+Greedy fixpoint semantics (``method='greedy'``, the default — matches
+the reference's default behavior): repeatedly accept pairs that are the
+current best (by zeta desc, deterministic tie-break) for BOTH
+endpoints, remove matched endpoints, repeat. This reproduces sequential
+greedy matching exactly, in O(rounds) shuffles instead of a driver loop
+over pairs.
+
+Exact LSAP (``method='lsap'`` == linprog=TRUE): connected components of
+the pair graph partition the problem into independent bipartite blocks;
+each block is solved exactly with a pure-NumPy Hungarian (shortest
+augmenting path, O(n^3) — scipy/lpSolve absent in this container) inside
+one ``applyInPandas`` pass. Components are almost always tiny (a record
+matches a handful of candidates); blocks above ``max_lsap_block`` nodes
+fall back to within-block greedy (documented bound — an adversarial
+giant bipartite clique would otherwise pin one task at O(n^3)).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _hungarian_min(cost: np.ndarray) -> list[tuple[int, int]]:
+    """Exact square LSAP (minimize): shortest-augmenting-path Hungarian
+    with row/col potentials (the standard O(n^3) formulation, e.g.
+    cp-algorithms' 'Hungarian algorithm'); inner relaxation vectorized
+    over columns. Returns [(row, col)] for all n rows."""
+    n = cost.shape[0]
+    INF = np.inf
+    u = np.zeros(n + 1)
+    v = np.zeros(n + 1)
+    p = np.zeros(n + 1, dtype=np.int64)  # p[j] = row matched to col j (1-based)
+    way = np.zeros(n + 1, dtype=np.int64)
+    for i in range(1, n + 1):
+        p[0] = i
+        j0 = 0
+        minv = np.full(n + 1, INF)
+        used = np.zeros(n + 1, dtype=bool)
+        while True:
+            used[j0] = True
+            i0 = p[j0]
+            cur = cost[i0 - 1, :] - u[i0] - v[1:]
+            cur[used[1:]] = INF
+            upd = cur < minv[1:]
+            minv[1:][upd] = cur[upd]
+            way[1:][upd] = j0
+            free_min = np.where(used[1:], INF, minv[1:])
+            j1 = int(np.argmin(free_min)) + 1
+            delta = free_min[j1 - 1]
+            u[p[used]] += delta
+            v[used] -= delta
+            minv[~used] -= delta
+            j0 = j1
+            if p[j0] == 0:
+                break
+        while j0:
+            j1 = way[j0]
+            p[j0] = p[j1]
+            j0 = j1
+    return [(int(p[j]) - 1, j - 1) for j in range(1, n + 1) if p[j] > 0]
+
+
+def _solve_block_lsap(pdf: pd.DataFrame, id_a: str, id_b: str, score: str) -> pd.DataFrame:
+    """Exact max-total-score 1:1 assignment within one bipartite block.
+    Missing (a,b) cells are forbidden (large cost + post-filter)."""
+    a_ids = np.sort(pdf[id_a].unique())
+    b_ids = np.sort(pdf[id_b].unique())
+    na, nb = len(a_ids), len(b_ids)
+    n = max(na, nb)
+    a_pos = {x: i for i, x in enumerate(a_ids)}
+    b_pos = {x: i for i, x in enumerate(b_ids)}
+    smax = float(pdf[score].max())
+    # benefit -> cost; pad to square; forbidden cells cost enough that a
+    # real edge is always preferred, detectable after the solve
+    forbidden = (smax + 1.0) * (n + 1)
+    cost = np.full((n, n), forbidden)
+    cost[na:, :] = 0.0
+    cost[:, nb:] = 0.0
+    for r in pdf.itertuples(index=False):
+        cost[a_pos[getattr(r, id_a)], b_pos[getattr(r, id_b)]] = smax - float(
+            getattr(r, score)
+        )
+    keep = set()
+    for ri, ci in _hungarian_min(cost):
+        if ri < na and ci < nb and cost[ri, ci] < forbidden:
+            keep.add((a_ids[ri], b_ids[ci]))
+    mask = [(getattr(r, id_a), getattr(r, id_b)) in keep for r in pdf.itertuples(index=False)]
+    return pdf.loc[mask, [id_a, id_b, score]]
+
+
+def _solve_block_greedy(pdf: pd.DataFrame, id_a: str, id_b: str, score: str) -> pd.DataFrame:
+    """Within-block greedy fallback for oversized components (same
+    semantics as the distributed greedy fixpoint)."""
+    pdf = pdf.sort_values([score, id_a, id_b], ascending=[False, True, True])
+    used_a: set = set()
+    used_b: set = set()
+    rows = []
+    for r in pdf.itertuples(index=False):
+        a, b = getattr(r, id_a), getattr(r, id_b)
+        if a not in used_a and b not in used_b:
+            used_a.add(a)
+            used_b.add(b)
+            rows.append(r)
+    return pd.DataFrame(rows, columns=pdf.columns)[[id_a, id_b, score]]
+
+
+def dedupe_matches_lsap(
+    pairs: DataFrame,
+    *,
+    id_a: str = "a_rec_id",
+    id_b: str = "b_rec_id",
+    score: str = "zeta",
+    max_lsap_block: int = 2000,
+) -> DataFrame:
+    """Exact 1:1 assignment (``dedupeMatches(linprog=TRUE)``): maximize
+    total score subject to each a/b id matched at most once. Distributed
+    shape: CC over the pair graph -> one applyInPandas per component,
+    each solved with the exact Hungarian (greedy fallback above
+    max_lsap_block nodes)."""
+    from .cluster import connected_components
+
+    slim = pairs.select(id_a, id_b, score)
+    # component per a-side node; over-grouping from numeric id collisions
+    # across the two sides is harmless (LSAP over a union of disconnected
+    # blocks has the same optimum as solving them separately)
+    comp = connected_components(slim.select(id_a, id_b))
+    tagged = slim.join(
+        comp.select(F.col("id").alias(id_a), F.col("cluster_id").alias("__comp")), id_a
+    )
+
+    out_schema = slim.schema
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop(columns=["__comp"])
+        n_nodes = pdf[id_a].nunique() + pdf[id_b].nunique()
+        if n_nodes > max_lsap_block:
+            return _solve_block_greedy(pdf, id_a, id_b, score)
+        return _solve_block_lsap(pdf, id_a, id_b, score)
+
+    return tagged.groupBy("__comp").applyInPandas(solve, schema=out_schema)
 
 
 def dedupe_matches(
@@ -27,11 +156,16 @@ def dedupe_matches(
     id_b: str = "b_rec_id",
     score: str = "zeta",
     max_rounds: int = 20,
+    method: str = "greedy",
 ) -> DataFrame:
-    """Matched pairs -> 1:1 subset (greedy mutual-best fixpoint).
+    """Matched pairs -> 1:1 subset. method='greedy' (mutual-best
+    fixpoint, the reference default) or 'lsap' (exact linear-sum
+    assignment, ``linprog=TRUE``).
 
     Deterministic: ties broken by (score desc, partner id asc).
     """
+    if method == "lsap":
+        return dedupe_matches_lsap(pairs, id_a=id_a, id_b=id_b, score=score)
     remaining = pairs.select(id_a, id_b, score).localCheckpoint(eager=True)
     accepted: DataFrame | None = None
 

@@ -36,6 +36,15 @@ def jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return jaro_winkler_series(a, b)
 
 
+@F.pandas_udf(DoubleType())
+def dl_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Normalized Damerau-Levenshtein/OSA similarity (stringdist dl,
+    restricted transpositions) — SURVEY.md F2; functions/dl.py."""
+    from ..functions.dl import osa_sim_series
+
+    return osa_sim_series(a, b)
+
+
 def gamma_exact(a: Column, b: Column) -> Column:
     """gammaKpar: 2 if equal, 0 if not, null if either side NA."""
     return (
@@ -93,7 +102,8 @@ class FieldSpec:
     """One linkage field: how to compare a_<name> vs b_<name>.
 
     kind: 'exact' | 'string' (JW 3-level) | 'string2' (JW 2-level) |
-          'levenshtein' | 'soundex' | 'numeric'
+          'levenshtein' | 'dl' (Damerau-Levenshtein/OSA) | 'soundex' |
+          'numeric'
     Mirrors fastLink's varnames + stringdist.match/partial.match/
     numeric.match argument triple and stringdist.method dispatch
     (``R/fastLink.R`` signature).
@@ -114,6 +124,8 @@ class FieldSpec:
             return gamma_string(a, b, self.cut_full, None)
         if self.kind == "levenshtein":
             return gamma_from_sim(levenshtein_sim(a, b), self.cut_full, self.cut_partial)
+        if self.kind == "dl":
+            return gamma_from_sim(dl_udf(a, b), self.cut_full, self.cut_partial)
         if self.kind == "soundex":
             return gamma_soundex(a, b)
         if self.kind == "numeric":

@@ -86,3 +86,40 @@ def movers_prior(expected_matches: float, nobs_a: int, nobs_b: int, weight: floa
     expected match share of the pair space, w_lambda pseudo-count)."""
     lam = expected_matches / max(nobs_a * nobs_b, 1)
     return {"lambda_prior": min(max(lam, 0.0), 1.0), "lambda_prior_w": weight}
+
+
+def movers_priors_from_table(
+    migration: DataFrame,
+    nobs_a: int,
+    nobs_b: int,
+    *,
+    from_col: str = "geo_from",
+    to_col: str = "geo_to",
+    count_col: str = "n",
+    target_geo: str | None = None,
+    weight: float = 1.0,
+) -> dict:
+    """The reference's full calcMoversPriors DATA path
+    (``R/calcMoversPriors.R``): ingest a migration/overlap lookup table
+    (the reference packages IRS state-to-state flow counts), aggregate
+    it to the expected matched-population share, and reduce to the
+    (lambda_prior, lambda_prior_w) pseudo-count pair consumed by
+    em.emlink_mar — vs the scalar shortcut movers_prior() above.
+
+    Expected matches = stayer share (rows with geo_from == geo_to,
+    optionally restricted to `target_geo`) times the smaller snapshot:
+    records present in both snapshots that did not move. One driver-side
+    aggregate over a tiny lookup table."""
+    m = migration
+    if target_geo is not None:
+        m = m.where((F.col(from_col) == target_geo) | (F.col(to_col) == target_geo))
+    row = m.agg(
+        F.sum(
+            F.when(F.col(from_col) == F.col(to_col), F.col(count_col)).otherwise(F.lit(0))
+        ).alias("stay"),
+        F.sum(count_col).alias("total"),
+    ).collect()[0]
+    stay = float(row["stay"] or 0.0)
+    total = float(row["total"] or 0.0)
+    share = stay / total if total > 0 else 0.0
+    return movers_prior(share * min(nobs_a, nobs_b), nobs_a, nobs_b, weight)

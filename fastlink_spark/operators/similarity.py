@@ -67,15 +67,22 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 2,
     include_self: bool = False,
+    centroid_rule: str = "hash",
 ) -> DataFrame:
-    """IVF ANN: centroids = deterministic corpus subset (lowest
-    xxhash64(id) — seed-free, reproducible, resumable); corpus vectors
-    live in their 1 nearest cell, queries probe n_probe cells.
-    Output schema matches brute_force_topk."""
+    """IVF ANN: centroids = deterministic corpus subset (seed-free,
+    reproducible, resumable); corpus vectors live in their 1 nearest
+    cell, queries probe n_probe cells. Output schema matches
+    brute_force_topk.
+
+    centroid_rule: 'hash' (lowest xxhash64(id) — a pseudo-random sample,
+    the production default) or 'min_id' (lowest id — fully
+    SQL-expressible, the oracle-twin rule; equivalent when ids carry no
+    ordering information)."""
     v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    order_key = F.xxhash64("id") if centroid_rule == "hash" else F.col("id")
     cent = (
-        v.withColumn("h", F.xxhash64("id"))
-        .orderBy("h")
+        v.withColumn("h", order_key)
+        .orderBy("h", "id")
         .limit(n_cells)
         .select(F.col("id").alias("cell"), F.col("vec").alias("cvec"))
         .localCheckpoint(eager=False)
@@ -90,9 +97,10 @@ def ivf_topk(
     j = corpus_cells.join(query_cells, "cell")
     if not include_self:
         j = j.where(F.col("query_id") != F.col("neighbor_id"))
-    scored = j.withColumn("cosine", cosine_sim(F.col("qv"), F.col("cv"))).dropDuplicates(
-        ["query_id", "neighbor_id"]
-    )
+    # no dedupe shuffle needed: each corpus vector lives in EXACTLY one
+    # cell, so a (query, neighbor) pair appears at most once even with
+    # n_probe > 1
+    scored = j.withColumn("cosine", cosine_sim(F.col("qv"), F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -11,8 +11,15 @@ writes the identical layout to a Parquet directory per stage:
                                     per-partition row counters
 
 Resume: if a stage directory + manifest exist and the manifest's
-config/input hash matches, the stage is READ instead of recomputed —
-deleting any stage directory invalidates it (and only it) downstream.
+resume token matches, the stage is READ instead of recomputed. The
+token chains CONTENT: it includes the config hash, the input stage
+names, AND each upstream manifest's content fingerprint (row count +
+order-insensitive bit_xor of per-row xxhash64). Deleting and rebuilding
+an upstream stage to different contents therefore invalidates every
+stage downstream of it automatically; the first stage takes an
+``extra_token`` from the caller (an Iceberg snapshot id in production;
+the input plan's semanticHash in this sandbox) to tie it to the raw
+input.
 On a cluster the same class pointed at an Iceberg catalog would use
 ``df.writeTo(tbl).createOrReplace()``; the interface is the only thing
 the pipeline sees.
@@ -34,6 +41,10 @@ class CheckpointManager:
         self.root = root
         self.config_token = config_token
         self.metrics: dict[str, dict] = {}
+        # per-stage content fingerprints (filled on build OR resume);
+        # downstream tokens chain these so upstream content changes
+        # invalidate automatically
+        self.fingerprints: dict[str, str] = {}
 
     def _paths(self, name: str) -> tuple[str, str]:
         assert self.root is not None
@@ -46,8 +57,11 @@ class CheckpointManager:
         *,
         inputs: tuple[str, ...] = (),
         partition_counters: bool = True,
+        extra_token: str = "",
     ) -> DataFrame:
-        """Build-or-resume one stage; records lineage + counters."""
+        """Build-or-resume one stage; records lineage + counters +
+        content fingerprint. `extra_token` lets the caller bind the
+        first stage to its raw input (snapshot id / plan hash)."""
         if self.root is None:
             # no on-disk checkpoint root: still materialize + cut lineage
             # (generator/HOF expressions must never be re-inlined into
@@ -58,7 +72,13 @@ class CheckpointManager:
             self.metrics[name] = {"rows": None, "resumed": False}
             return df
         data_path, manifest_path = self._paths(name)
-        token = f"{self.config_token}|inputs={','.join(inputs)}"
+        upstream_fp = ",".join(
+            f"{i}:{self.fingerprints.get(i, '')}" for i in inputs
+        )
+        token = (
+            f"{self.config_token}|inputs={','.join(inputs)}"
+            f"|fp={upstream_fp}|extra={extra_token}"
+        )
         if os.path.exists(manifest_path):
             with open(manifest_path) as f:
                 man = json.load(f)
@@ -66,17 +86,26 @@ class CheckpointManager:
                 os.path.join(data_path, "_SUCCESS")
             ):
                 self.metrics[name] = {"rows": man["rows"], "resumed": True}
+                self.fingerprints[name] = man.get("fingerprint", "")
                 return self.spark.read.parquet(data_path)
 
         df = build()
         df.write.mode("overwrite").parquet(data_path)
         out = self.spark.read.parquet(data_path)
-        rows = out.count()
+        # one pass: row count + order-insensitive content checksum
+        # (bit_xor of per-row xxhash64 over every column)
+        agg = out.agg(
+            F.count("*").alias("rows"),
+            F.bit_xor(F.xxhash64(*[F.col(c) for c in out.columns])).alias("xor"),
+        ).collect()[0]
+        rows = int(agg["rows"])
+        fingerprint = f"{rows}:{agg['xor'] if agg['xor'] is not None else 0}"
         man: dict = {
             "stage": name,
             "token": token,
             "inputs": list(inputs),
             "rows": rows,
+            "fingerprint": fingerprint,
             "schema": out.schema.jsonValue(),
         }
         if partition_counters:
@@ -89,6 +118,7 @@ class CheckpointManager:
         with open(manifest_path, "w") as f:
             json.dump(man, f, indent=1)
         self.metrics[name] = {"rows": rows, "resumed": False}
+        self.fingerprints[name] = fingerprint
         return out
 
     def put_json(self, name: str, payload: str) -> None:

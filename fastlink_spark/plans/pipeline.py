@@ -67,6 +67,12 @@ class LinkageConfig:
     # the mixture correctly ranks low on its own evidence.
     deterministic_fields: tuple[str, ...] = ("url_norm",)
     sample_fraction: float | None = None  # emlinkRS mode: fit EM on a pair sample
+    # 128-bit record key (two-seed xxhash64, hex): at 10^12 docs a 64-bit
+    # key has ~1e4 expected birthday collisions; the wide key removes
+    # them. Flows through pairs/gammas/CC unchanged (CC is id-type
+    # generic); pair CC at that scale should additionally map wide keys
+    # to dense longs (operators.cluster.dense_long_ids).
+    wide_rec_id: bool = False
     checkpoint_dir: str | None = None
     extra: dict = dc_field(default_factory=dict)
 
@@ -89,6 +95,7 @@ class LinkageConfig:
                 ],
                 "sample": self.sample_fraction,
                 "deterministic": list(self.deterministic_fields),
+                "wide_rec_id": self.wide_rec_id,
             },
             sort_keys=True,
         )
@@ -111,14 +118,22 @@ def prepare_pages(pages: DataFrame, cfg: "LinkageConfig | None" = None) -> DataF
     them (minhash.py plan-size note).
 
     rec_id = xxhash64(url): stable under recompute (never
-    monotonically_increasing_id — SURVEY.md D3). NOTE at 10^12 scale a
-    64-bit key has non-trivial birthday collisions (~1e4 expected); a
-    production run promotes to 128-bit (e.g. two-seed xxhash64 struct)
-    and maps to dense longs for CC. 64-bit is exact at every test SF.
+    monotonically_increasing_id — SURVEY.md D3). At 10^12 scale a
+    64-bit key has non-trivial birthday collisions (~1e4 expected);
+    ``cfg.wide_rec_id`` promotes to the 128-bit two-seed hex key (CC is
+    id-type generic; map to dense longs via cluster.dense_long_ids for
+    CC shuffle width). 64-bit is exact at every test SF.
     """
     cfg = cfg or LinkageConfig()
+    if cfg.wide_rec_id:
+        rec_id = F.concat(
+            F.lpad(F.hex(F.xxhash64("url")), 16, "0"),
+            F.lpad(F.hex(F.xxhash64(F.lit("rec_id_hi"), F.col("url"))), 16, "0"),
+        )
+    else:
+        rec_id = F.xxhash64("url")
     prep = pages.select(
-        F.xxhash64("url").alias("rec_id"),
+        rec_id.alias("rec_id"),
         "url",
         "warc_ts",
         "lang",
@@ -152,10 +167,18 @@ def _blocked_records(records: DataFrame, cfg: LinkageConfig) -> DataFrame:
         F.explode("block_keys").alias("block_key"), *attrs, "band0"
     )
     if cfg.use_host_block:
-        prof = blocked.groupBy("block_key").agg(F.count("*").alias("n"))
-        big_hosts = prof.filter(
-            F.col("block_key").startswith("h:") & (F.col("n") > cfg.refine_host_above)
-        ).select("block_key")
+        # host sizes from the UN-exploded records stream (1 row/record,
+        # not 1 row per block key): ~bands+1 times less data through the
+        # agg than profiling the exploded stream; the only remaining
+        # full block profile is the one inside candidate_pairs (computed
+        # over the FINAL refined keys, which this one cannot know)
+        big_hosts = (
+            records.where(F.col("host").isNotNull())
+            .groupBy("host")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > cfg.refine_host_above)
+            .select(F.concat(F.lit("h:"), F.col("host")).alias("block_key"))
+        )
         blocked = blocked.join(F.broadcast(big_hosts.withColumn("is_big", F.lit(True))), "block_key", "left")
         blocked = blocked.withColumn(
             "block_key",
@@ -175,7 +198,16 @@ def link_dedupe(
     cfg = cfg or LinkageConfig()
     ckpt = CheckpointManager(spark, cfg.checkpoint_dir, cfg.token())
 
-    records = ckpt.stage("records", lambda: prepare_pages(pages, cfg), inputs=("pages",))
+    # bind the first stage to its raw input: Iceberg snapshot id in
+    # production; the input plan's semanticHash here (catches a changed
+    # input path/plan — in-place content edits need the snapshot id)
+    try:
+        input_tok = str(pages.semanticHash())
+    except Exception:
+        input_tok = ""
+    records = ckpt.stage(
+        "records", lambda: prepare_pages(pages, cfg), inputs=("pages",), extra_token=input_tok
+    )
 
     blocked = _blocked_records(records, cfg)
     cand = ckpt.stage(
@@ -255,7 +287,14 @@ def link_dedupe(
             det = scored.where(det_cond).select(
                 "a_rec_id", "b_rec_id", F.lit(1.0).alias("zeta")
             )
-            fs = fs.unionByName(det).dropDuplicates(["a_rec_id", "b_rec_id"])
+            # max(zeta), not dropDuplicates: a pair passing BOTH the FS
+            # threshold and the deterministic pass must resolve to the
+            # same zeta every run (byte-stable matched_pairs output).
+            fs = (
+                fs.unionByName(det)
+                .groupBy("a_rec_id", "b_rec_id")
+                .agg(F.max("zeta").alias("zeta"))
+            )
         return fs
 
     matched = ckpt.stage("matched_pairs", _build_matched, inputs=("pairs_gamma",))

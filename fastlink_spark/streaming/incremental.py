@@ -10,14 +10,21 @@ each micro-batch of arriving pages. Per batch:
   2. candidate pairs = new records x (existing ∪ new) via block-key
      equi-join (inverted-index lookup, not a self-join re-run);
   3. gamma scoring + broadcast zeta join with the FROZEN pattern table;
-  4. accepted pairs assign each new record to the min cluster_id of its
-     matched partners (or a fresh singleton cluster = own rec_id);
-  5. state (records index + entities) appended to the state dir.
+  4. accepted pairs assign each new record to min(own rec_id, partner
+     labels) — a single distributed groupBy, no iteration;
+  5. label DISAGREEMENT edges (matched pairs whose two endpoints ended
+     up with different labels — within-batch transitive chains, or a
+     new record bridging old clusters) are collected to the driver
+     (only conflicting LABEL pairs, never the pair stream), resolved
+     with a tiny union-find, and persisted as a relabel map;
+  6. state (records index + entities + relabel map) written to the
+     state dir; ``entities()`` applies the (broadcast) relabel map at
+     read, so merged clusters read as one entity.
 
-Cluster merges caused by a new record bridging two old clusters are
-applied with a driver-side relabel of the (tiny) affected set; a full
-periodic re-run of batch CC reconciles global state (documented
-tradeoff, same as any streaming CC).
+The relabel map grows with the merge count; a periodic re-run of batch
+CC compacts it to empty (documented tradeoff, same as any streaming
+CC). On Iceberg the relabel would be a MERGE INTO over the affected
+partition subset instead of a read-time map.
 """
 
 from __future__ import annotations
@@ -55,6 +62,42 @@ class IncrementalLinker:
         if os.path.exists(p):
             return self.spark.read.parquet(p)
         return None
+
+    def _read_relabels(self) -> dict[int, int]:
+        p = self._path("relabels.json")
+        if os.path.exists(p):
+            import json
+
+            with open(p) as f:
+                return {int(k): int(v) for k, v in json.load(f).items()}
+        return {}
+
+    def _write_relabels(self, mapping: dict[int, int]) -> None:
+        import json
+
+        with open(self._path("relabels.json"), "w") as f:
+            json.dump({str(k): v for k, v in mapping.items()}, f)
+
+    def entities(self) -> DataFrame | None:
+        """Entity state with the relabel map applied (merged clusters
+        read as one). The map is tiny (one row per merge event) and is
+        applied as a broadcast join."""
+        ent = self._read_state("entities")
+        if ent is None:
+            return None
+        mapping = self._read_relabels()
+        if not mapping:
+            return ent
+        mdf = self.spark.createDataFrame(
+            list(mapping.items()), "cluster_id long, __to long"
+        )
+        return (
+            ent.join(F.broadcast(mdf), "cluster_id", "left")
+            .select(
+                *[c for c in ent.columns if c != "cluster_id"],
+                F.coalesce("__to", "cluster_id").alias("cluster_id"),
+            )
+        )
 
     # -- core -------------------------------------------------------------
     def process_batch(self, new_pages: DataFrame, batch_id: int = 0) -> DataFrame:
@@ -111,7 +154,7 @@ class IncrementalLinker:
                 .select("a_rec_id", "b_rec_id", "zeta")
             )
 
-        old_ent = self._read_state("entities")
+        old_ent = self.entities()
         if matched is not None and old_ent is not None:
             partner_clusters = matched.join(
                 old_ent.select(F.col("rec_id").alias("b_rec_id"), "cluster_id"),
@@ -125,7 +168,11 @@ class IncrementalLinker:
 
         new_ids = new_rec.select("rec_id")
         if partner_clusters is not None:
-            # new record -> min(existing partner cluster, partner rec_id, own rec_id)
+            # new record -> min(existing partner cluster, partner rec_id, own rec_id).
+            # Including the record's OWN rec_id in the min is load-bearing: a
+            # batch of mutual duplicates {A<B<C} must all converge on A — the
+            # partner-only min labels A with B's id while B/C get A's
+            # (within-batch duplicates never co-clustered otherwise).
             assign = (
                 partner_clusters.withColumn(
                     "cand_cluster", F.coalesce("cluster_id", "b_rec_id")
@@ -134,13 +181,73 @@ class IncrementalLinker:
                 .agg(F.min("cand_cluster").alias("cluster_id"))
             )
             new_ent = new_ids.join(assign, "rec_id", "left").select(
-                "rec_id", F.coalesce("cluster_id", "rec_id").alias("cluster_id")
+                "rec_id",
+                F.least(F.coalesce("cluster_id", "rec_id"), F.col("rec_id")).alias("cluster_id"),
             )
         else:
             new_ent = new_ids.withColumn("cluster_id", F.col("rec_id"))
         new_ent = new_ent.join(new_rec.select("rec_id", "url"), "rec_id").localCheckpoint(
             eager=True
         )
+
+        # Reconcile: matched pairs whose endpoints got DIFFERENT labels
+        # (within-batch transitive chains; new record bridging old
+        # clusters). Only the distinct conflicting LABEL pairs reach the
+        # driver — O(merge events), not O(pairs).
+        if matched is not None:
+            lab_a = new_ent.select(
+                F.col("rec_id").alias("a_rec_id"), F.col("cluster_id").alias("la")
+            )
+            lab_b_new = new_ent.select(
+                F.col("rec_id").alias("b_rec_id"), F.col("cluster_id").alias("lb")
+            )
+            if old_ent is not None:
+                lab_b = old_ent.select(
+                    F.col("rec_id").alias("b_rec_id"), F.col("cluster_id").alias("lb")
+                ).unionByName(lab_b_new)
+            else:
+                lab_b = lab_b_new
+            conflicts = (
+                matched.join(lab_a, "a_rec_id")
+                .join(lab_b, "b_rec_id")
+                .where(F.col("la") != F.col("lb"))
+                .select("la", "lb")
+                .distinct()
+                .collect()
+            )
+            if conflicts:
+                mapping = self._read_relabels()
+                parent: dict[int, int] = {}
+
+                def find(x: int) -> int:
+                    r = x
+                    while parent.get(r, r) != r:
+                        r = parent[r]
+                    while parent.get(x, x) != x:
+                        parent[x], x = r, parent[x]
+                    return r
+
+                def union(x: int, y: int) -> None:
+                    rx, ry = find(x), find(y)
+                    if rx != ry:
+                        lo, hi = (rx, ry) if rx < ry else (ry, rx)
+                        parent[hi] = lo
+
+                for k, v in mapping.items():
+                    union(k, v)
+                for r in conflicts:
+                    union(int(r["la"]), int(r["lb"]))
+                resolved = {x: find(x) for x in parent}
+                self._write_relabels({k: v for k, v in resolved.items() if k != v})
+                mdf = self.spark.createDataFrame(
+                    [(k, v) for k, v in resolved.items() if k != v],
+                    "cluster_id long, __to long",
+                )
+                new_ent = new_ent.join(F.broadcast(mdf), "cluster_id", "left").select(
+                    "rec_id",
+                    F.coalesce("__to", "cluster_id").alias("cluster_id"),
+                    "url",
+                ).localCheckpoint(eager=True)
 
         new_rec.write.mode("append").parquet(self._path("records"))
         new_ent.write.mode("append").parquet(self._path("entities"))
