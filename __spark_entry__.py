@@ -419,6 +419,15 @@ def q24_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b")
 
 
+def q25_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup decision: exact-text star edges UNION verified
+    near-dup edges -> CC -> (id, cluster_id, keep min-id canonical).
+    Oracle: recursive-CTE CC over the identical SQL-computed edge set."""
+    from fastlink_spark.operators.dedup import corpus_dedup
+
+    return corpus_dedup(_docs(spark, sf_dir), "doc_id", "text", w=5, min_jaccard=0.8)
+
+
 def q21_window_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping-window blocking (blockData(window.block=) analogue,
     SURVEY.md J5) driven through the generic salted pair machinery:
@@ -497,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_tumbling_events": q22_tumbling_events,
         "q23_quality_score": q23_quality_score,
         "q24_embedding_dups": q24_embedding_dups,
+        "q25_corpus_dedup": q25_corpus_dedup,
     }
 
 
@@ -668,6 +678,27 @@ def oracle_sql() -> dict[str, str]:
             " len(list_filter(list_transform(range(0, greatest(len(t) - 8, 0) + 1), "
             "   i -> " + _h60_sql("array_to_string(t[i+1:i+8], ' ')") + "), "
             " h -> h % 8 = 0)) ELSE 0 END AS BIGINT) AS n_fingerprints FROM tk"
+        ),
+        "q25_corpus_dedup": (
+            "WITH RECURSIVE "
+            f"tk AS (SELECT doc_id, {toks} AS t FROM documents), "
+            f"g AS (SELECT doc_id, {_grams_sql(5)} AS grams FROM tk), "
+            "near AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "  FROM documents a JOIN documents b ON a.doc_id < b.doc_id "
+            "  JOIN g ga ON ga.doc_id = a.doc_id JOIN g gb ON gb.doc_id = b.doc_id "
+            "  WHERE len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)) > 0 "
+            "    AND CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) / "
+            "        (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) >= 0.8), "
+            "ex AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS r "
+            "  FROM documents WHERE text IS NOT NULL), "
+            "ed AS (SELECT id_a, id_b FROM near UNION "
+            "  SELECT r, doc_id FROM ex WHERE doc_id <> r), "
+            "e AS (SELECT id_a AS s, id_b AS d FROM ed UNION ALL SELECT id_b, id_a FROM ed), "
+            "walk(id, comp) AS ("
+            "  SELECT doc_id, doc_id FROM documents "
+            "  UNION "
+            "  SELECT e.d, w.comp FROM walk w JOIN e ON e.s = w.id) "
+            "SELECT id, min(comp) AS cluster_id, (id = min(comp)) AS keep FROM walk GROUP BY id"
         ),
         "q24_embedding_dups": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "

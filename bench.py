@@ -117,6 +117,12 @@ def main() -> None:
     queries["gamma_scoring"] = round(gamma_wall, 3)
     pairs_per_sec = n_pairs / gamma_wall if gamma_wall > 0 else 0.0
 
+    # release the gamma-stage cache before e2e: a clean-process probe
+    # measured e2e ~flat 16->32 (48.8 vs 53.9 s) while e2e after the
+    # stage benches regressed — block-manager residue from the earlier
+    # localCheckpoint was the difference
+    cand.unpersist(blocking=True)
+
     # e2e in PRODUCTION shape: parquet checkpoint per stage (an Iceberg
     # table on a real cluster); fresh dir => no resume, full recompute
     e2e_cfg = LinkageConfig(checkpoint_dir=tempfile.mkdtemp(prefix="flbench_e2e_"))
@@ -134,6 +140,7 @@ def main() -> None:
         "q11_embedding_topk",
         "q15_minhash_candidates",
         "q20_connected_components",
+        "q25_corpus_dedup",
     ]
     qmap = entry_mod.queries()
     for name in battery:

@@ -283,6 +283,53 @@ def simhash_pairs_multi(
     )
 
 
+def corpus_dedup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    w: int = mh.DEFAULT_SHINGLE_W,
+    bands: int = mh.DEFAULT_BANDS,
+    rows_per_band: int = mh.DEFAULT_ROWS_PER_BAND,
+    min_jaccard: float = 0.8,
+    skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
+    target_block: int = DEFAULT_TARGET_BLOCK,
+) -> DataFrame:
+    """The full training-data dedup DECISION: exact duplicates (identical
+    text, star edges root->member — never the quadratic within-group pair
+    set) UNION verified near-duplicates (MinHash candidates at shingle
+    Jaccard >= t), clustered with large-star/small-star CC. Output
+    (id, cluster_id, keep) — keep = the cluster's min-id canonical doc.
+
+    Exact edges matter even at Jaccard 1.0: zero-token docs (empty text)
+    have EMPTY shingle sets, so only text equality can tie them."""
+    from .cluster import connected_components
+
+    near = minhash_near_dup_pairs(
+        docs,
+        id_col,
+        text_col,
+        w=w,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        min_jaccard=min_jaccard,
+        skew_threshold=skew_threshold,
+        target_block=target_block,
+    ).select("id_a", "id_b")
+    h = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.xxhash64(text_col).alias("th")
+    )
+    roots = h.groupBy("th").agg(F.min("id").alias("root"))
+    exact_edges = (
+        h.join(roots, "th")
+        .where(F.col("id") != F.col("root"))
+        .select(F.col("root").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    edges = near.unionByName(exact_edges)
+    cc = connected_components(edges, docs.select(F.col(id_col).alias("id")))
+    return cc.withColumn("keep", F.col("id") == F.col("cluster_id"))
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 

@@ -89,6 +89,9 @@ class CheckpointManager:
                 self.fingerprints[name] = man.get("fingerprint", "")
                 return self.spark.read.parquet(data_path)
 
+        import time
+
+        t0 = time.time()
         df = build()
         df.write.mode("overwrite").parquet(data_path)
         out = self.spark.read.parquet(data_path)
@@ -115,9 +118,10 @@ class CheckpointManager:
                 .collect()
             )
             man["partitions"] = {int(r["pid"]): int(r["rows"]) for r in per_part}
+        man["wall_sec"] = round(time.time() - t0, 3)
         with open(manifest_path, "w") as f:
             json.dump(man, f, indent=1)
-        self.metrics[name] = {"rows": rows, "resumed": False}
+        self.metrics[name] = {"rows": rows, "resumed": False, "wall_sec": man["wall_sec"]}
         self.fingerprints[name] = fingerprint
         return out
 

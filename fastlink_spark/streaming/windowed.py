@@ -1,0 +1,145 @@
+"""Structured-Streaming operators: watermarked tumbling-window
+aggregation and stateful streaming exact-dedup.
+
+The reference is batch-only (SURVEY.md §2.10); these are the documented
+streaming extensions a continuously-ingesting web-corpus pipeline needs
+(driver mandate). Batch twin of the windowed agg is q22 — identical
+grouping semantics, so the batch oracle carries the correctness signal
+while the tests here assert streamed == batch on the same input plus
+checkpointed incremental processing across availableNow restarts.
+
+Scale notes: windowed agg state is bounded by (watermark horizon x key
+cardinality) — late rows beyond the watermark are dropped instead of
+growing state forever. The stateful dedup keeps ONE boolean-sized state
+entry per distinct hash inside applyInPandasWithState (RocksDB-backed
+state store on a real cluster); emitting only first-seen rows makes the
+downstream pipeline idempotent under replay.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (streaming twin of q22):
+    (window_start, key, n_events, sum_value). Append-mode-compatible —
+    a window only emits once the watermark passes its end."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double"), 2).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_windowed_counts_to_memory(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    schema,
+    *,
+    query_name: str = "windowed_counts",
+    **agg_kwargs,
+):
+    """File-source wiring: readStream(parquet) -> windowed agg ->
+    complete-mode memory sink, availableNow trigger (drains everything
+    currently in the directory, then stops — incremental across restarts
+    via the checkpoint)."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    agg = windowed_event_counts(stream, **agg_kwargs)
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    hash_col: str = "text_hash",
+) -> DataFrame:
+    """Stateful streaming exact-dedup via applyInPandasWithState: emit
+    each distinct `hash_col` ONCE (the min `id_col` of its first
+    micro-batch); later occurrences — same batch or any later batch —
+    are dropped. State per hash is a single counter."""
+    out_type = StructType(
+        [StructField(id_col, LongType()), StructField(hash_col, LongType())]
+    )
+    state_type = StructType([StructField("seen", LongType())])
+
+    def dedupe(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (h,) = key
+        seen = state.get[0] if state.exists else 0
+        first_id = None
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+            batch_min = pdf[id_col].min()
+            if first_id is None or batch_min < first_id:
+                first_id = int(batch_min)
+        state.update((seen + n,))
+        if seen == 0 and first_id is not None:
+            yield pd.DataFrame({id_col: [first_id], hash_col: [h]})
+
+    return stream.groupBy(hash_col).applyInPandasWithState(
+        dedupe,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    schema,
+    **kwargs,
+):
+    """File-to-file wiring (the production shape — an append-mode memory
+    sink cannot recover from a checkpoint): readStream(parquet) ->
+    stateful dedup -> parquet sink, availableNow trigger."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    deduped = streaming_exact_dedup(stream, **kwargs)
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
