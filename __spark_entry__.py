@@ -428,6 +428,24 @@ def q25_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_dedup(_docs(spark, sf_dir), "doc_id", "text", w=5, min_jaccard=0.8)
 
 
+def q26_two_table_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table (dfA x dfB) salted blocked join — the reference's
+    PRIMARY linkage mode (fastLink(dfA, dfB)). Tiny skew threshold
+    forces the salt-and-replicate-B path; the oracle proves the salted
+    pair set equals the plain SQL join exactly."""
+    from fastlink_spark.operators.pairs import candidate_pairs_two
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        F.concat(F.lit("s:"), F.col("source")).alias("block_key"),
+        F.col("doc_id").alias("rec_id"),
+    )
+    a = base.where(F.col("rec_id") % 2 == 0)
+    b = base.where(F.col("rec_id") % 2 == 1)
+    pairs = candidate_pairs_two(a, b, skew_threshold=5, target_block=5)
+    return pairs.select(F.col("a_rec_id").alias("id_a"), F.col("b_rec_id").alias("id_b"))
+
+
 def q21_window_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping-window blocking (blockData(window.block=) analogue,
     SURVEY.md J5) driven through the generic salted pair machinery:
@@ -507,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_quality_score": q23_quality_score,
         "q24_embedding_dups": q24_embedding_dups,
         "q25_corpus_dedup": q25_corpus_dedup,
+        "q26_two_table_pairs": q26_two_table_pairs,
     }
 
 
@@ -699,6 +718,11 @@ def oracle_sql() -> dict[str, str]:
             "  UNION "
             "  SELECT e.d, w.comp FROM walk w JOIN e ON e.s = w.id) "
             "SELECT id, min(comp) AS cluster_id, (id = min(comp)) AS keep FROM walk GROUP BY id"
+        ),
+        "q26_two_table_pairs": (
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a "
+            "JOIN documents b ON a.source = b.source "
+            "WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1"
         ),
         "q24_embedding_dups": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
