@@ -312,11 +312,10 @@ def q16_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fit_zeta_rows(patt_pdf) -> list[tuple]:
+def _fit_em(patt_pdf):
     """Deterministic EM fit over a (gamma_lang, gamma_n_chars, cnt)
-    pattern table -> [(gamma_lang, gamma_n_chars, zeta)] with zeta
-    rounded driver-side. Shared by q17's Spark query AND its DuckDB
-    oracle so both carry bit-identical zeta literals; rows are sorted
+    pattern table. Shared by q17/q27's Spark queries AND their DuckDB
+    oracles so both sides carry bit-identical literals; rows are sorted
     first so float accumulation order is identical on both paths."""
     import pandas as pd
 
@@ -326,7 +325,7 @@ def _fit_zeta_rows(patt_pdf) -> list[tuple]:
     pdf = patt_pdf.copy().sort_values(gcols, na_position="last").reset_index(drop=True)
     em = emlink_mar(pdf, gcols, p_m=0.1)
     z = apply_em(pdf, em)
-    return [
+    zrows = [
         (
             None if pd.isna(r["gamma_lang"]) else int(r["gamma_lang"]),
             None if pd.isna(r["gamma_n_chars"]) else int(r["gamma_n_chars"]),
@@ -334,6 +333,11 @@ def _fit_zeta_rows(patt_pdf) -> list[tuple]:
         )
         for _, r in z.iterrows()
     ]
+    return em, zrows
+
+
+def _fit_zeta_rows(patt_pdf) -> list[tuple]:
+    return _fit_em(patt_pdf)[1]
 
 
 def q17_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,6 +358,50 @@ def q17_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return patt.join(F.broadcast(zdf), cond).select(
         patt["gamma_lang"], patt["gamma_n_chars"], "cnt", "zeta"
+    )
+
+
+def _pairs_with_zeta(spark: SparkSession, sf_dir: str):
+    """Shared by q17/q27: source-blocked pairs, SQL-oracle-able gammas,
+    distributed pattern counts, deterministic driver fit."""
+    from fastlink_spark.operators.gammas import FieldSpec, pattern_counts, with_gammas
+
+    pairs = _doc_pairs_by_source(spark, sf_dir, force_salting=False)
+    fields = [FieldSpec("lang", "exact"), FieldSpec("n_chars", "numeric", 10.0, 50.0)]
+    scored = with_gammas(pairs, fields)
+    patt = pattern_counts(scored, fields)
+    em, zrows = _fit_em(patt.toPandas())
+    zdf = spark.createDataFrame(zrows, "gamma_lang int, gamma_n_chars int, zeta double")
+    cond = scored["gamma_lang"].eqNullSafe(zdf["gamma_lang"]) & scored[
+        "gamma_n_chars"
+    ].eqNullSafe(zdf["gamma_n_chars"])
+    joined = scored.join(F.broadcast(zdf), cond).select(
+        scored["a_rec_id"],
+        scored["b_rec_id"],
+        scored["a_lang"],
+        scored["gamma_lang"],
+        scored["gamma_n_chars"],
+        "zeta",
+    )
+    return joined, patt, em
+
+
+def q27_name_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nameReweight (R/nameReweight.R): pairs AGREEING on lang get their
+    zeta recomputed with the value-specific chance-agreement p_v^2 in
+    place of the global u[agree]. The oracle mirrors the exact odds
+    formula in SQL with the fitted u[agree] injected as a literal."""
+    from fastlink_spark.operators.reweight import name_reweight
+
+    pz, _, em = _pairs_with_zeta(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    out = name_reweight(pz, docs, "lang", em)
+    return out.select(
+        F.col("a_rec_id").alias("id_a"),
+        F.col("b_rec_id").alias("id_b"),
+        "gamma_lang",
+        "zeta",
+        "zeta_reweighted",
     )
 
 
@@ -526,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_embedding_dups": q24_embedding_dups,
         "q25_corpus_dedup": q25_corpus_dedup,
         "q26_two_table_pairs": q26_two_table_pairs,
+        "q27_name_reweight": q27_name_reweight,
     }
 
 
@@ -563,12 +612,12 @@ _Q03_PATTERN_SQL = (
 )
 
 
-def _q17_oracle_sql() -> str:
-    """q17's oracle is built at call time: compute the pattern table in
-    DuckDB from the same parquet, run the IDENTICAL deterministic fit
-    (_fit_zeta_rows), and inject the zetas as SQL literals — the oracle
-    then checks both the distributed pattern aggregation AND the
-    pattern->zeta identity."""
+def _fitted_oracles() -> dict[str, str]:
+    """q17/q27 oracles are built at call time: compute the pattern table
+    in DuckDB from the same parquet, run the IDENTICAL deterministic fit
+    (_fit_em), and inject the fitted values as SQL literals — the
+    oracles then check the distributed pattern aggregation AND the
+    pattern->zeta / reweighted-zeta identities."""
     import os
 
     import duckdb
@@ -578,26 +627,50 @@ def _q17_oracle_sql() -> str:
     patt = con.execute(
         _Q03_PATTERN_SQL.format(docs=f"read_parquet('{sf}/documents.parquet')")
     ).df()
+    em, zrows = _fit_em(patt)
     vals = ", ".join(
         "({}, {}, CAST({!r} AS DOUBLE))".format(
             "CAST(NULL AS INTEGER)" if a is None else a,
             "CAST(NULL AS INTEGER)" if b is None else b,
             z,
         )
-        for a, b, z in _fit_zeta_rows(patt)
+        for a, b, z in zrows
     )
-    return (
+    zcte = f"z(gamma_lang, gamma_n_chars, zeta) AS (VALUES {vals})"
+    q17 = (
         "WITH patt AS (" + _Q03_PATTERN_SQL.format(docs="documents") + "), "
-        f"z(gamma_lang, gamma_n_chars, zeta) AS (VALUES {vals}) "
+        f"{zcte} "
         "SELECT patt.gamma_lang, patt.gamma_n_chars, patt.cnt, z.zeta FROM patt JOIN z "
         "ON patt.gamma_lang IS NOT DISTINCT FROM z.gamma_lang "
         "AND patt.gamma_n_chars IS NOT DISTINCT FROM z.gamma_n_chars"
     )
+    u_agree = float(em.u["gamma_lang"][em.levels["gamma_lang"].index(2)])
+    # term-by-term mirror of operators/reweight.name_reweight's odds
+    # formula (identical IEEE op order => bit-equal doubles)
+    q27 = (
+        "WITH pz AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang AS a_lang, "
+        " CASE WHEN a.lang IS NULL OR b.lang IS NULL THEN NULL WHEN a.lang = b.lang THEN 2 ELSE 0 END AS gamma_lang, "
+        " CASE WHEN a.n_chars IS NULL OR b.n_chars IS NULL THEN NULL WHEN abs(a.n_chars - b.n_chars) <= 10 THEN 2 "
+        "      WHEN abs(a.n_chars - b.n_chars) <= 50 THEN 1 ELSE 0 END AS gamma_n_chars "
+        " FROM documents a JOIN documents b ON a.source = b.source AND a.doc_id < b.doc_id), "
+        f"{zcte}, "
+        "j AS (SELECT pz.id_a, pz.id_b, pz.a_lang, pz.gamma_lang, z.zeta FROM pz JOIN z "
+        " ON pz.gamma_lang IS NOT DISTINCT FROM z.gamma_lang "
+        " AND pz.gamma_n_chars IS NOT DISTINCT FROM z.gamma_n_chars), "
+        "fr AS (SELECT lang, count(*) / (SELECT count(*) FROM documents WHERE lang IS NOT NULL) AS p_v "
+        " FROM documents WHERE lang IS NOT NULL GROUP BY lang), "
+        f"rw AS (SELECT j.*, (zeta / (1 - zeta)) * (CAST({u_agree!r} AS DOUBLE) / greatest(p_v * p_v, 1e-12)) AS no "
+        " FROM j LEFT JOIN fr ON j.a_lang = fr.lang) "
+        "SELECT id_a, id_b, gamma_lang, zeta, "
+        " CASE WHEN gamma_lang = 2 THEN least(no / (1 + no), CAST(1.0 AS DOUBLE)) ELSE zeta END AS zeta_reweighted "
+        "FROM rw"
+    )
+    return {"q17_linkage_em": q17, "q27_name_reweight": q27}
 
 
 def _q17_entry() -> dict[str, str]:
     try:
-        return {"q17_linkage_em": _q17_oracle_sql()}
+        return _fitted_oracles()
     except Exception:
         return {}
 
