@@ -405,6 +405,51 @@ def q27_name_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q28_match_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """summary.fastLink analogue (G18) as a distributed query: per zeta
+    threshold, the match count plus the expected-FDR/FNR numerators
+    (sums over the pattern table; emitted as rounded numerators rather
+    than ratios so the oracle comparison avoids division-order float
+    drift)."""
+    from fastlink_spark.operators.gammas import FieldSpec, pattern_counts, with_gammas
+
+    pairs = _doc_pairs_by_source(spark, sf_dir, force_salting=False)
+    fields = [FieldSpec("lang", "exact"), FieldSpec("n_chars", "numeric", 10.0, 50.0)]
+    patt = pattern_counts(with_gammas(pairs, fields), fields)
+    zdf = spark.createDataFrame(
+        _fit_zeta_rows(patt.toPandas()), "gamma_lang int, gamma_n_chars int, zeta double"
+    )
+    cond = patt["gamma_lang"].eqNullSafe(zdf["gamma_lang"]) & patt["gamma_n_chars"].eqNullSafe(
+        zdf["gamma_n_chars"]
+    )
+    pz2 = patt.join(F.broadcast(zdf), cond).select("cnt", "zeta")
+    th = spark.createDataFrame([(0.75,), (0.85,), (0.95,)], "threshold double")
+    j = pz2.crossJoin(F.broadcast(th))
+    return j.groupBy("threshold").agg(
+        F.sum(F.when(F.col("zeta") >= F.col("threshold"), F.col("cnt")).otherwise(F.lit(0))).alias(
+            "matches"
+        ),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("zeta") >= F.col("threshold"),
+                    F.col("cnt") * (1 - F.col("zeta")),
+                ).otherwise(F.lit(0.0))
+            ),
+            6,
+        ).alias("exp_fdr_num"),
+        F.round(
+            F.sum(
+                F.when(F.col("zeta") < F.col("threshold"), F.col("cnt") * F.col("zeta")).otherwise(
+                    F.lit(0.0)
+                )
+            ),
+            6,
+        ).alias("exp_fnr_num"),
+        F.round(F.sum(F.col("cnt") * F.col("zeta")), 6).alias("exp_matches"),
+    )
+
+
 def q18_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint counts over the md5-twin window hash
     (0 mod 8 selection); DuckDB recomputes the same hash bit-exactly."""
@@ -575,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_corpus_dedup": q25_corpus_dedup,
         "q26_two_table_pairs": q26_two_table_pairs,
         "q27_name_reweight": q27_name_reweight,
+        "q28_match_summary": q28_match_summary,
     }
 
 
@@ -665,7 +711,21 @@ def _fitted_oracles() -> dict[str, str]:
         " CASE WHEN gamma_lang = 2 THEN least(no / (1 + no), CAST(1.0 AS DOUBLE)) ELSE zeta END AS zeta_reweighted "
         "FROM rw"
     )
-    return {"q17_linkage_em": q17, "q27_name_reweight": q27}
+    q28 = (
+        "WITH patt AS (" + _Q03_PATTERN_SQL.format(docs="documents") + "), "
+        f"{zcte}, "
+        "pz AS (SELECT patt.cnt, z.zeta FROM patt JOIN z "
+        " ON patt.gamma_lang IS NOT DISTINCT FROM z.gamma_lang "
+        " AND patt.gamma_n_chars IS NOT DISTINCT FROM z.gamma_n_chars), "
+        "th(threshold) AS (VALUES (CAST(0.75 AS DOUBLE)), (CAST(0.85 AS DOUBLE)), (CAST(0.95 AS DOUBLE))) "
+        "SELECT threshold, "
+        " CAST(sum(CASE WHEN zeta >= threshold THEN cnt ELSE 0 END) AS BIGINT) AS matches, "
+        " round(sum(CASE WHEN zeta >= threshold THEN cnt * (1 - zeta) ELSE 0.0 END), 6) AS exp_fdr_num, "
+        " round(sum(CASE WHEN zeta < threshold THEN cnt * zeta ELSE 0.0 END), 6) AS exp_fnr_num, "
+        " round(sum(cnt * zeta), 6) AS exp_matches "
+        "FROM pz CROSS JOIN th GROUP BY threshold"
+    )
+    return {"q17_linkage_em": q17, "q27_name_reweight": q27, "q28_match_summary": q28}
 
 
 def _q17_entry() -> dict[str, str]:
