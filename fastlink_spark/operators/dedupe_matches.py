@@ -71,27 +71,29 @@ def _hungarian_min(cost: np.ndarray) -> list[tuple[int, int]]:
 
 def _solve_block_lsap(pdf: pd.DataFrame, id_a: str, id_b: str, score: str) -> pd.DataFrame:
     """Exact max-total-score 1:1 assignment within one bipartite block.
-    Missing (a,b) cells are forbidden (large cost + post-filter)."""
+
+    Max-WEIGHT, not max-cardinality (matching lpSolve's objective in the
+    reference's dedupeMatches(linprog=TRUE)): leaving a node unmatched
+    is free, so a single 0.9 edge beats a {0.1, 0.2} perfect matching.
+    Reduction: (na+nb)-square matrix where real edges cost -score,
+    missing real cells are forbidden (+big), and nb dummy rows / na
+    dummy cols at cost 0 let any node opt out; Hungarian minimizes, so
+    the optimum takes exactly the matches whose total score is maximal."""
     a_ids = np.sort(pdf[id_a].unique())
     b_ids = np.sort(pdf[id_b].unique())
     na, nb = len(a_ids), len(b_ids)
-    n = max(na, nb)
+    n = na + nb
     a_pos = {x: i for i, x in enumerate(a_ids)}
     b_pos = {x: i for i, x in enumerate(b_ids)}
     smax = float(pdf[score].max())
-    # benefit -> cost; pad to square; forbidden cells cost enough that a
-    # real edge is always preferred, detectable after the solve
-    forbidden = (smax + 1.0) * (n + 1)
-    cost = np.full((n, n), forbidden)
-    cost[na:, :] = 0.0
-    cost[:, nb:] = 0.0
+    forbidden = (abs(smax) + 1.0) * (n + 1)
+    cost = np.zeros((n, n))
+    cost[:na, :nb] = forbidden
     for r in pdf.itertuples(index=False):
-        cost[a_pos[getattr(r, id_a)], b_pos[getattr(r, id_b)]] = smax - float(
-            getattr(r, score)
-        )
+        cost[a_pos[getattr(r, id_a)], b_pos[getattr(r, id_b)]] = -float(getattr(r, score))
     keep = set()
     for ri, ci in _hungarian_min(cost):
-        if ri < na and ci < nb and cost[ri, ci] < forbidden:
+        if ri < na and ci < nb and cost[ri, ci] < 0:
             keep.add((a_ids[ri], b_ids[ci]))
     mask = [(getattr(r, id_a), getattr(r, id_b)) in keep for r in pdf.itertuples(index=False)]
     return pdf.loc[mask, [id_a, id_b, score]]

@@ -51,8 +51,17 @@ def _brute_force_best(rows):
 def test_lsap_matches_brute_force_fuzz(spark):
     from fastlink_spark.operators.dedupe_matches import dedupe_matches
 
+    # crafted: max-WEIGHT must beat max-cardinality — {a1-b2}=0.9 over
+    # the perfect matching {a1-b1, a2-b2}=0.3 (lpSolve objective parity)
+    pairs = spark.createDataFrame(
+        [(1, 101, 0.1), (1, 102, 0.9), (2, 102, 0.2)],
+        "a_rec_id long, b_rec_id long, zeta double",
+    )
+    out = {(r.a_rec_id, r.b_rec_id) for r in dedupe_matches(pairs, method="lsap").collect()}
+    assert out == {(1, 102)}
+
     rng = np.random.default_rng(7)
-    for trial in range(6):
+    for trial in range(12):
         na, nb = rng.integers(2, 5), rng.integers(2, 5)
         rows = []
         for a in range(na):
