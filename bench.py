@@ -109,6 +109,11 @@ def main() -> None:
     queries["pairs_materialize"] = round(time.time() - t, 3)
 
     fields = list(cfg.fields)
+    # warm the Python UDF workers + page cache on a slice of the REAL
+    # pair table (the 400-page warm-up above compiles codegen but leaves
+    # the per-worker Arrow pipelines cold for this data shape); warm-up
+    # discarded per the BASELINE.md protocol
+    gammas.pattern_counts(gammas.with_gammas(cand.limit(50_000), fields), fields).collect()
     gamma_wall = float("inf")
     for _rep in range(2):  # best-of-2: damp cloud-VM noise on the headline
         t = time.time()
