@@ -4,15 +4,15 @@
 sf0.001 documents rendered as Common-Crawl-style pages. ``queries()``
 exposes each implemented operator from SURVEY.md §2 (+ the mandated
 training-data ops) as a (spark, sf_dir) callable; ``oracle_sql()``
-gives the DuckDB-equivalent SQL for EVERY query (23/23): hash-based ops
+gives the DuckDB-equivalent SQL for EVERY query (29/29): hash-based ops
 use an md5-prefix twin hash DuckDB reproduces bit-exactly, LSH ops emit
 exact-verified (or pigeonhole-guaranteed) outputs, the EM oracles the
-pattern->zeta identity with the fit injected as literals, and CC is
-checked against a recursive-CTE transitive closure. (stringdist-JW
-itself has no DuckDB twin — DuckDB's jaro_winkler counts transpositions
-differently, verified in tests/test_jw.py — so JW is covered by pytest
-goldens/fuzz plus the pipeline F1 gate rather than a JW-scored query.)
-"""
+pattern->zeta identity with the fit injected as literals, CC is checked
+against a recursive-CTE transitive closure, and the production JW
+kernel itself is oracle-checked via q29 (quantized scores vs frozen
+driver-side kernel literals — DuckDB's own jaro_winkler counts
+transpositions differently, verified in tests/test_jw.py, so the
+literal-injection pattern is the only hard twin possible)."""
 
 from __future__ import annotations
 
@@ -389,13 +389,17 @@ def _pairs_with_zeta(spark: SparkSession, sf_dir: str):
 def q27_name_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nameReweight (R/nameReweight.R): pairs AGREEING on lang get their
     zeta recomputed with the value-specific chance-agreement p_v^2 in
-    place of the global u[agree]. The oracle mirrors the exact odds
-    formula in SQL with the fitted u[agree] injected as a literal."""
+    place of the global u[agree] AND (renormalize_m, the reference's
+    fuller formula) the value-specific match probability m_v — share of
+    the value among agreeing pairs with zeta >= 0.85 — in place of the
+    global m[agree]. The oracle mirrors the exact odds formula in SQL
+    with the fitted u[agree] and m[agree] injected as literals and m_v
+    recomputed from the same pair table."""
     from fastlink_spark.operators.reweight import name_reweight
 
     pz, _, em = _pairs_with_zeta(spark, sf_dir)
     docs = _docs(spark, sf_dir)
-    out = name_reweight(pz, docs, "lang", em)
+    out = name_reweight(pz, docs, "lang", em, renormalize_m=True, match_threshold=0.85)
     return out.select(
         F.col("a_rec_id").alias("id_a"),
         F.col("b_rec_id").alias("id_b"),
@@ -498,16 +502,33 @@ def q20_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q24_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine >= 0.95) via multi-table
-    hyperplane LSH (8 tables x 6 planes: ~0.2% theoretical miss at the
-    threshold) + exact cosine verify; oracle = brute-force scan, so any
-    LSH miss shows as a row-count diff."""
+    hyperplane LSH (8 tables x 6 planes) + exact cosine verify; oracle =
+    brute-force all-pairs scan, so any LSH miss shows as a row-count
+    diff.
+
+    The fixture's natural max pairwise cosine is ~0.51 (r2 verdict: the
+    oracle was vacuously green on 0 rows), so the input is augmented
+    with PLANTED near-duplicates: for vec_id < 50, a copy at
+    vec_id + 1_000_000 with +0.2 added to coordinate 0 — the fixture
+    vectors are unit-norm, putting the planted cosines in [0.979, 0.985]
+    (measured): comfortably above the 0.95 verify threshold, comfortably
+    below exact-duplicate triviality, so the multi-table LSH recall math
+    (miss prob (1-(1-theta/pi)^6)^8 ~ 1e-4 per pair at cos 0.98,
+    deterministic hyperplanes) is genuinely exercised against the
+    brute-force oracle."""
     from fastlink_spark.operators.dedup import embedding_dup_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
     )
+    planted = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "vec", lambda x, i: F.when(i == 0, x + F.lit(0.2)).otherwise(x)
+        ).alias("vec"),
+    )
     out = embedding_dup_pairs(
-        emb, "vec_id", "vec", min_cosine=0.95, n_buckets_hint=6, n_tables=8
+        emb.unionByName(planted), "vec_id", "vec", min_cosine=0.95, n_buckets_hint=6, n_tables=8
     )
     return out.select("id_a", "id_b")
 
@@ -525,7 +546,14 @@ def q26_two_table_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-table (dfA x dfB) salted blocked join — the reference's
     PRIMARY linkage mode (fastLink(dfA, dfB)). Tiny skew threshold
     forces the salt-and-replicate-B path; the oracle proves the salted
-    pair set equals the plain SQL join exactly."""
+    pair set equals the plain SQL join exactly.
+
+    The A/B split is md5-based, NOT doc_id parity: the fixture assigns
+    doc_ids round-robin by source (every source holds one residue class
+    mod 20), so any small-modulus id split is perfectly correlated with
+    the block key and yields an empty — vacuously green — pair set
+    (r2 verdict finding). md5(doc_id) is independent of source; the
+    split emits thousands of real pairs at sf0.01."""
     from fastlink_spark.operators.pairs import candidate_pairs_two
 
     docs = _docs(spark, sf_dir)
@@ -533,8 +561,9 @@ def q26_two_table_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("s:"), F.col("source")).alias("block_key"),
         F.col("doc_id").alias("rec_id"),
     )
-    a = base.where(F.col("rec_id") % 2 == 0)
-    b = base.where(F.col("rec_id") % 2 == 1)
+    split = F.substring(F.md5(F.col("rec_id").cast("string")), 1, 1) < "8"
+    a = base.where(split)
+    b = base.where(~split)
     pairs = candidate_pairs_two(a, b, skew_threshold=5, target_block=5)
     return pairs.select(F.col("a_rec_id").alias("id_a"), F.col("b_rec_id").alias("id_b"))
 
@@ -591,6 +620,40 @@ def q23_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", quality_score(F.col("text")).alias("q"))
 
 
+def q29_jw_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard oracle for the Jaro-Winkler kernel itself (SURVEY.md F1 —
+    r2's only pytest-only core): quantized JW scores
+    floor(jw*1e6 + 0.5) over a deterministic same-source pair sample
+    ((a_id*31 + b_id) % 20 == 0, ~1200 pairs at sf0.01), comparing the
+    40-char text prefixes. The Spark side runs the PRODUCTION
+    Arrow-batched bit-parallel jw_udf (unique-pair factorization, uint8
+    bucketing); the oracle recomputes the pair sample in SQL and joins
+    it to literals from the frozen driver-side kernel (q17's
+    literal-injection pattern — DuckDB's own jaro_winkler counts
+    transpositions differently, tests/test_jw.py). Any drift in the
+    distributed path (batch splitting, factorization, bucketing,
+    quantization) breaks the value hash."""
+    from fastlink_spark.operators.gammas import jw_udf
+    from fastlink_spark.operators.pairs import candidate_pairs
+
+    blocked = _docs(spark, sf_dir).select(
+        F.concat(F.lit("s:"), F.col("source")).alias("block_key"),
+        F.col("doc_id").alias("rec_id"),
+        F.substring("text", 1, 40).alias("s"),
+    )
+    pairs = candidate_pairs(blocked, skew_threshold=100_000, target_block=100_000)
+    sample = pairs.where(
+        F.pmod(F.col("a_rec_id") * 31 + F.col("b_rec_id"), F.lit(20)) == 0
+    )
+    return sample.select(
+        F.col("a_rec_id").alias("id_a"),
+        F.col("b_rec_id").alias("id_b"),
+        F.floor(jw_udf(F.col("a_s"), F.col("b_s")) * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("jw_q"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_block_profile": q01_block_profile,
@@ -621,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_two_table_pairs": q26_two_table_pairs,
         "q27_name_reweight": q27_name_reweight,
         "q28_match_summary": q28_match_summary,
+        "q29_jw_scores": q29_jw_scores,
     }
 
 
@@ -691,8 +755,11 @@ def _fitted_oracles() -> dict[str, str]:
         "AND patt.gamma_n_chars IS NOT DISTINCT FROM z.gamma_n_chars"
     )
     u_agree = float(em.u["gamma_lang"][em.levels["gamma_lang"].index(2)])
+    m_agree = float(em.m["gamma_lang"][em.levels["gamma_lang"].index(2)])
     # term-by-term mirror of operators/reweight.name_reweight's odds
-    # formula (identical IEEE op order => bit-equal doubles)
+    # formula with renormalize_m=True (identical IEEE op order =>
+    # bit-equal doubles): odds * (u_agree / p_v^2) * (m_v / m_agree),
+    # m_v = value share among agreeing pairs with zeta >= 0.85
     q27 = (
         "WITH pz AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang AS a_lang, "
         " CASE WHEN a.lang IS NULL OR b.lang IS NULL THEN NULL WHEN a.lang = b.lang THEN 2 ELSE 0 END AS gamma_lang, "
@@ -705,8 +772,13 @@ def _fitted_oracles() -> dict[str, str]:
         " AND pz.gamma_n_chars IS NOT DISTINCT FROM z.gamma_n_chars), "
         "fr AS (SELECT lang, count(*) / (SELECT count(*) FROM documents WHERE lang IS NOT NULL) AS p_v "
         " FROM documents WHERE lang IS NOT NULL GROUP BY lang), "
-        f"rw AS (SELECT j.*, (zeta / (1 - zeta)) * (CAST({u_agree!r} AS DOUBLE) / greatest(p_v * p_v, 1e-12)) AS no "
-        " FROM j LEFT JOIN fr ON j.a_lang = fr.lang) "
+        "mt AS (SELECT a_lang FROM j WHERE gamma_lang = 2 AND zeta >= 0.85), "
+        "mf AS (SELECT a_lang AS lang, count(*) / (SELECT count(*) FROM mt) AS m_v "
+        " FROM mt WHERE a_lang IS NOT NULL GROUP BY a_lang), "
+        f"rw AS (SELECT j.id_a, j.id_b, j.gamma_lang, j.zeta, "
+        f" ((zeta / (1 - zeta)) * coalesce(CAST({u_agree!r} AS DOUBLE) / greatest(p_v * p_v, 1e-12), CAST(1.0 AS DOUBLE))) "
+        f" * coalesce(m_v / CAST({m_agree!r} AS DOUBLE), CAST(1.0 AS DOUBLE)) AS no "
+        " FROM j LEFT JOIN fr ON j.a_lang = fr.lang LEFT JOIN mf ON j.a_lang = mf.lang) "
         "SELECT id_a, id_b, gamma_lang, zeta, "
         " CASE WHEN gamma_lang = 2 THEN least(no / (1 + no), CAST(1.0 AS DOUBLE)) ELSE zeta END AS zeta_reweighted "
         "FROM rw"
@@ -725,7 +797,40 @@ def _fitted_oracles() -> dict[str, str]:
         " round(sum(cnt * zeta), 6) AS exp_matches "
         "FROM pz CROSS JOIN th GROUP BY threshold"
     )
-    return {"q17_linkage_em": q17, "q27_name_reweight": q27, "q28_match_summary": q28}
+
+    # q29: frozen JW kernel values injected as literals; SQL recomputes
+    # ONLY the deterministic pair sample (ids), never the kernel —
+    # DuckDB's jaro_winkler counts transpositions differently.
+    import numpy as np
+
+    from fastlink_spark.functions.jw import jaro_winkler_np
+
+    jrows = con.execute(
+        f"SELECT a.doc_id, b.doc_id, substr(a.text, 1, 40), substr(b.text, 1, 40) "
+        f"FROM read_parquet('{sf}/documents.parquet') a "
+        f"JOIN read_parquet('{sf}/documents.parquet') b "
+        f"  ON a.source = b.source AND a.doc_id < b.doc_id "
+        f"WHERE (a.doc_id * 31 + b.doc_id) % 20 = 0 ORDER BY 1, 2"
+    ).fetchall()
+    out = {"q17_linkage_em": q17, "q27_name_reweight": q27, "q28_match_summary": q28}
+    if jrows:
+        sims = jaro_winkler_np(
+            np.array([r[2] for r in jrows], dtype=object),
+            np.array([r[3] for r in jrows], dtype=object),
+        )
+        jq = np.floor(sims * 1e6 + 0.5).astype(np.int64)
+        jvals = ", ".join(
+            f"({r[0]}, {r[1]}, {int(q)})" for r, q in zip(jrows, jq)
+        )
+        out["q29_jw_scores"] = (
+            f"WITH lit(id_a, id_b, jw_q) AS (VALUES {jvals}), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a "
+            " JOIN documents b ON a.source = b.source AND a.doc_id < b.doc_id "
+            " WHERE (a.doc_id * 31 + b.doc_id) % 20 = 0) "
+            "SELECT p.id_a, p.id_b, CAST(lit.jw_q AS BIGINT) AS jw_q "
+            "FROM p JOIN lit ON p.id_a = lit.id_a AND p.id_b = lit.id_b"
+        )
+    return out
 
 
 def _q17_entry() -> dict[str, str]:
@@ -855,10 +960,16 @@ def oracle_sql() -> dict[str, str]:
         "q26_two_table_pairs": (
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a "
             "JOIN documents b ON a.source = b.source "
-            "WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1"
+            "WHERE substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 1) < '8' "
+            "  AND substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 1) >= '8'"
         ),
         "q24_embedding_dups": (
-            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
+            # brute-force scan over base + planted near-dups (twin of the
+            # Spark-side augmentation: vec_id+1e6, +0.2 on coordinate 0)
+            "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "plant AS (SELECT vec_id + 1000000 AS vec_id, "
+            "  list_prepend(v[1] + 0.2, v[2:]) AS v FROM base WHERE vec_id < 50), "
+            "e AS (SELECT * FROM base UNION ALL SELECT * FROM plant) "
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a JOIN e b "
             "ON a.vec_id < b.vec_id AND list_cosine_similarity(a.v, b.v) >= 0.95"
         ),

@@ -136,6 +136,20 @@ def main() -> None:
     res.entities.count()
     queries["pipeline_e2e"] = round(time.time() - t, 3)
 
+    # wide-key (128-bit hex rec_id) e2e variant: exercises the
+    # dense_long_ids mapping inside the clusters stage (the 10^12-key
+    # story end-to-end). Enabled for the headline/driver-config run;
+    # the scaling sweep skips it (BENCH_WIDE_E2E=0) to keep per-width
+    # reps affordable.
+    if os.environ.get("BENCH_WIDE_E2E", "1") == "1":
+        wide_cfg = LinkageConfig(
+            wide_rec_id=True, checkpoint_dir=tempfile.mkdtemp(prefix="flbench_wide_")
+        )
+        t = time.time()
+        res_w = link_dedupe(spark, pages, wide_cfg)
+        res_w.entities.count()
+        queries["pipeline_e2e_wide_id"] = round(time.time() - t, 3)
+
     # --- operator battery at the sf dir ---------------------------------
     battery = [
         "q05_pricing_summary",

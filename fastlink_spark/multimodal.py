@@ -18,6 +18,8 @@ media+metadata tables; never collect binaries to the driver.
 
 from __future__ import annotations
 
+import struct
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -84,7 +86,11 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     bpp = int.from_bytes(payload[28:30], "little")
     comp = int.from_bytes(payload[30:34], "little")
     if bpp != 24 or comp != 0:
-        raise NotImplementedError(f"only uncompressed 24-bit BMP (got bpp={bpp}, comp={comp})")
+        # ValueError (not NotImplementedError): a BMP variant this
+        # decoder can't parse is per-ROW bad data — extract_features maps
+        # it to an ok=False row instead of failing the whole task. Only
+        # whole-FORMAT gaps (jpeg/png/... in _DECODERS) raise.
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={comp})")
     top_down = h < 0
     h = abs(h)
     stride = (w * 3 + 3) & ~3
@@ -201,8 +207,12 @@ def extract_features(
                     )
                 try:
                     feats.append(dec(bytes(p), dim).tolist())
-                except (ValueError, EOFError):
-                    feats.append(None)  # corrupt payload -> ok=False row
+                except (ValueError, EOFError, IndexError, wave.Error, struct.error):
+                    # corrupt payload -> ok=False row, never a task
+                    # failure: wave.Error covers malformed RIFF/WAV
+                    # headers, struct.error truncated chunk tables,
+                    # IndexError truncated PPM headers
+                    feats.append(None)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -10,11 +10,13 @@ propagation, which is what makes it the right choice for web-scale
 chain-y duplicate graphs.
 
 Driver-looped DataFrame program: each round is two shuffles
-(groupBy-min + join); lineage cut per round with localCheckpoint so the
-plan doesn't grow unboundedly; convergence = edge-set fixpoint
-(count + order-insensitive xxhash64 checksum). An optional on-disk
-checkpoint callback lets the pipeline persist each round for resume
-(BASELINE.json north_rule).
+(groupBy-min + join); lineage cut per round via the injectable
+``materializer`` (default DISK_ONLY localCheckpoint; pass
+``plans.materialize.parquet_materializer`` for the fault-tolerant
+production shape) so the plan doesn't grow unboundedly; convergence =
+edge-set fixpoint (count + order-insensitive xxhash64 checksum). An
+optional on-disk checkpoint callback lets the pipeline persist each
+round for resume (BASELINE.json north_rule).
 """
 
 from __future__ import annotations
@@ -24,6 +26,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..plans.materialize import Materializer, resolve
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -55,13 +59,17 @@ def _small_star(e: DataFrame) -> DataFrame:
     return out.where(F.col("u") != F.col("v")).distinct()
 
 
-def _fingerprint(e: DataFrame) -> tuple[int, int]:
-    # bit_xor: order-insensitive checksum that can't overflow (ANSI mode)
+def _fingerprint(e: DataFrame) -> tuple[int, int, int]:
+    # bit_xor + sum: both order-insensitive; the sum term keeps the
+    # checksum sensitive to even-multiplicity row swaps that XOR alone
+    # self-cancels (edges here are distinct, so this is belt-and-braces).
+    h = F.xxhash64("u", "v")
     row = e.agg(
         F.count("*").alias("n"),
-        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        F.coalesce(F.bit_xor(h), F.lit(0)).alias("h"),
+        F.coalesce(F.sum(h.cast("decimal(38,0)")), F.lit(0)).alias("s"),
     ).collect()[0]
-    return int(row["n"]), int(row["h"])
+    return int(row["n"]), int(row["h"]), int(row["s"])
 
 
 def connected_components(
@@ -70,6 +78,7 @@ def connected_components(
     *,
     max_iter: int | None = None,
     on_round: Callable[[int, DataFrame], DataFrame] | None = None,
+    materializer: Materializer | None = None,
 ) -> DataFrame:
     """Edges ``(u, v)`` (any orientation; any orderable id type — long
     hashes or wide hex-string keys) -> ``(id, cluster_id)`` with
@@ -82,12 +91,15 @@ def connected_components(
     `on_round`: hook called with (round_idx, edges) after each
     large+small round; may return a re-materialized DataFrame (used by
     the pipeline to checkpoint rounds to disk for resume).
+    `materializer`: per-round lineage cut (plans.materialize; default
+    DISK_ONLY localCheckpoint, parquet for the production shape).
     """
+    mat = resolve(materializer)
     e = edges.select(
         F.col(edges.columns[0]).alias("u"),
         F.col(edges.columns[1]).alias("v"),
     ).where(F.col("u") != F.col("v")).distinct()
-    e = e.localCheckpoint(eager=True)
+    e = mat(e, "cc_edges")
 
     n_edges = e.count()
     if max_iter is None:
@@ -99,7 +111,7 @@ def connected_components(
     converged = False
     for it in range(1, max_iter + 1):
         e2 = _small_star(_large_star(e))
-        e2 = e2.localCheckpoint(eager=True)
+        e2 = mat(e2, "cc_round")
         if on_round is not None:
             maybe = on_round(it, e2)
             if maybe is not None:
@@ -129,17 +141,26 @@ def connected_components(
     return labels
 
 
-def dense_long_ids(df: DataFrame, key_col: str) -> DataFrame:
+def dense_long_ids(
+    df: DataFrame, key_col: str, *, materializer: Materializer | None = None
+) -> DataFrame:
     """(key) -> (key, dense_id long): collision-free dense longs for CC
     over wide (128-bit / string) record keys at 10^12 scale, where a
     64-bit hash would merge ~1e4 unrelated clusters by birthday
     collisions. Scalable pattern: per-partition row_number + broadcast
     partition offsets (one tiny collect of partition counts — NO global
-    sort). Deterministic once the input is a materialized (checkpointed)
-    stage, which is how the pipeline uses it."""
+    sort). The keyed stream is MATERIALIZED before the counts collect so
+    the offsets and the window ranking read the same frozen ``__pid``
+    column — without the cut, ``spark_partition_id`` is re-evaluated per
+    job and AQE coalescing / conf drift between the two jobs could
+    silently mint colliding ids."""
     from pyspark.sql import Window
 
-    part = df.select(key_col).distinct().withColumn("__pid", F.spark_partition_id())
+    mat = resolve(materializer)
+    part = mat(
+        df.select(key_col).distinct().withColumn("__pid", F.spark_partition_id()),
+        "dense_ids",
+    )
     counts = part.groupBy("__pid").count().collect()
     offs, acc = {}, 0
     for r in sorted(counts, key=lambda r: r["__pid"]):

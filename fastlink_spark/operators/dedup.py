@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..functions import minhash as mh
 from ..functions import simhash as sh
 from ..functions.textmeta import tokens
+from ..plans.materialize import Materializer, resolve
 from .pairs import DEFAULT_SKEW_THRESHOLD, DEFAULT_TARGET_BLOCK, candidate_pairs
 
 
@@ -84,6 +85,7 @@ def minhash_lsh_pairs(
     rows_per_band: int = mh.DEFAULT_ROWS_PER_BAND,
     skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
     target_block: int = DEFAULT_TARGET_BLOCK,
+    materializer: Materializer | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs (id_a < id_b) colliding in >=1 LSH band.
     shingle→minhash→band→salted bucket self-join; hot bands are
@@ -92,9 +94,12 @@ def minhash_lsh_pairs(
     # materialize before explode (HOF arrays inlined into Generate are
     # evaluated pathologically — see minhash.py plan-size note).
     src = _spread(df.select(id_col, text_col))
-    keyed = mh.add_minhash_bands(
-        src, text_col, "bk", w=w, bands=bands, rows_per_band=rows_per_band
-    ).localCheckpoint(eager=True)
+    keyed = resolve(materializer)(
+        mh.add_minhash_bands(
+            src, text_col, "bk", w=w, bands=bands, rows_per_band=rows_per_band
+        ),
+        "minhash_bands",
+    )
     bucketed = keyed.select(
         F.explode("bk").alias("block_key"), F.col(id_col).alias("id")
     )
@@ -114,6 +119,7 @@ def minhash_near_dup_pairs(
     min_jaccard: float = 0.8,
     skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
     target_block: int = DEFAULT_TARGET_BLOCK,
+    materializer: Materializer | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates EXACT-verified with w-token-shingle
     Jaccard >= min_jaccard: (id_a, id_b, n_inter, n_union). The output
@@ -130,8 +136,11 @@ def minhash_near_dup_pairs(
         rows_per_band=rows_per_band,
         skew_threshold=skew_threshold,
         target_block=target_block,
+        materializer=materializer,
     )
-    verified = ngram_jaccard_pairs(cand, df, id_col, text_col, n=w, min_jaccard=min_jaccard)
+    verified = ngram_jaccard_pairs(
+        cand, df, id_col, text_col, n=w, min_jaccard=min_jaccard, materializer=materializer
+    )
     return verified.select("id_a", "id_b", "n_inter", "n_union")
 
 
@@ -143,6 +152,7 @@ def ngram_jaccard_pairs(
     *,
     n: int = 3,
     min_jaccard: float = 0.0,
+    materializer: Materializer | None = None,
 ) -> DataFrame:
     """Verify candidate pairs with exact n-gram (token shingle) Jaccard.
     Output: (id_a, id_b, n_inter, n_union, jaccard). Set sizes are
@@ -156,15 +166,14 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), F.lit(n))),
         )
     )
-    grams = (
-        _spread(docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")))
-        .select(
+    grams = resolve(materializer)(
+        _spread(docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))).select(
             "id",
             F.when(F.size(toks) > 0, gram_arr)
             .otherwise(F.array().cast("array<string>"))
             .alias("grams"),
-        )
-        .localCheckpoint(eager=True)
+        ),
+        "grams",
     )
     ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
     gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
@@ -188,16 +197,21 @@ def ngram_jaccard_pairs(
 
 
 def _simhash_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, *, hash_impl: str = "xxhash64"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    hash_impl: str = "xxhash64",
+    materializer: Materializer | None = None,
 ) -> DataFrame:
-    return (
+    return resolve(materializer)(
         _spread(df.select(id_col, text_col))
         .select(
             F.col(id_col).alias("id"),
             sh.simhash(F.col(text_col), hash_impl=hash_impl).alias("fp"),
         )
-        .where(F.col("fp").isNotNull())
-        .localCheckpoint(eager=True)
+        .where(F.col("fp").isNotNull()),
+        "simhash_fp",
     )
 
 
@@ -210,6 +224,7 @@ def simhash_pairs(
     prefix_bits: int = 16,
     skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
     target_block: int = DEFAULT_TARGET_BLOCK,
+    materializer: Materializer | None = None,
 ) -> DataFrame:
     """SimHash near-dups: block on the top `prefix_bits` of the
     fingerprint (cheap LSH for small Hamming radii), verify exact
@@ -218,7 +233,7 @@ def simhash_pairs(
     NOTE single-prefix blocking misses pairs differing within the
     prefix; the chunk-table variant with the pigeonhole recall
     GUARANTEE is simhash_pairs_multi below."""
-    fp = _simhash_fingerprints(df, id_col, text_col)
+    fp = _simhash_fingerprints(df, id_col, text_col, materializer=materializer)
     bucketed = fp.select(
         F.shiftrightunsigned("fp", 64 - prefix_bits).cast("string").alias("block_key"),
         "id",
@@ -245,6 +260,7 @@ def simhash_pairs_multi(
     hash_impl: str = "xxhash64",
     skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
     target_block: int = DEFAULT_TARGET_BLOCK,
+    materializer: Materializer | None = None,
 ) -> DataFrame:
     """Chunk-table SimHash LSH: block on each of n_tables bit slices of
     the fingerprint; by pigeonhole a pair within Hamming r < n_tables
@@ -255,7 +271,7 @@ def simhash_pairs_multi(
 
     hash_impl='md5' + bits=60 gives the oracle-twin fingerprint (DuckDB
     computes the identical value — see simhash.md5_hash60)."""
-    fp = _simhash_fingerprints(df, id_col, text_col, hash_impl=hash_impl)
+    fp = _simhash_fingerprints(df, id_col, text_col, hash_impl=hash_impl, materializer=materializer)
     per = bits // n_tables
     # per-table keys built explicitly: n_tables is tiny, the union is
     # cheap and the plan stays small
@@ -294,6 +310,7 @@ def corpus_dedup(
     min_jaccard: float = 0.8,
     skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
     target_block: int = DEFAULT_TARGET_BLOCK,
+    materializer: Materializer | None = None,
 ) -> DataFrame:
     """The full training-data dedup DECISION: exact duplicates (identical
     text, star edges root->member — never the quadratic within-group pair
@@ -302,7 +319,11 @@ def corpus_dedup(
     (id, cluster_id, keep) — keep = the cluster's min-id canonical doc.
 
     Exact edges matter even at Jaccard 1.0: zero-token docs (empty text)
-    have EMPTY shingle sets, so only text equality can tie them."""
+    have EMPTY shingle sets, so only text equality can tie them.
+    Exact-dup grouping keys on a 128-bit two-seed hash: a single 64-bit
+    hash at the 10^12-doc scale this module targets would silently merge
+    ~1e4 unrelated documents by birthday collisions (same treatment as
+    wide_rec_id gives record keys)."""
     from .cluster import connected_components
 
     near = minhash_near_dup_pairs(
@@ -315,18 +336,23 @@ def corpus_dedup(
         min_jaccard=min_jaccard,
         skew_threshold=skew_threshold,
         target_block=target_block,
+        materializer=materializer,
     ).select("id_a", "id_b")
     h = docs.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"), F.xxhash64(text_col).alias("th")
+        F.col(id_col).alias("id"),
+        F.xxhash64(text_col).alias("th"),
+        F.xxhash64(F.lit("th_hi"), F.col(text_col)).alias("th2"),
     )
-    roots = h.groupBy("th").agg(F.min("id").alias("root"))
+    roots = h.groupBy("th", "th2").agg(F.min("id").alias("root"))
     exact_edges = (
-        h.join(roots, "th")
+        h.join(roots, ["th", "th2"])
         .where(F.col("id") != F.col("root"))
         .select(F.col("root").alias("id_a"), F.col("id").alias("id_b"))
     )
     edges = near.unionByName(exact_edges)
-    cc = connected_components(edges, docs.select(F.col(id_col).alias("id")))
+    cc = connected_components(
+        edges, docs.select(F.col(id_col).alias("id")), materializer=materializer
+    )
     return cc.withColumn("keep", F.col("id") == F.col("cluster_id"))
 
 
@@ -350,6 +376,7 @@ def embedding_dup_pairs(
     n_tables: int = 1,
     skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
     target_block: int = DEFAULT_TARGET_BLOCK,
+    materializer: Materializer | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH bucketing +
     exact cosine verify. Deterministic hyperplanes (xxhash64-seeded
@@ -395,7 +422,7 @@ def embedding_dup_pairs(
     keyed = _spread(v)
     for t in range(n_tables):
         keyed = keyed.withColumn(f"__bkt{t}", bucket_bits(F.col("vec"), t * planes))
-    keyed = keyed.localCheckpoint(eager=True)
+    keyed = resolve(materializer)(keyed, "emb_buckets")
     parts = [
         keyed.select(
             F.concat_ws(":", F.lit(str(t)), F.col(f"__bkt{t}").cast("string")).alias(

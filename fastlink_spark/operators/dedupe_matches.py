@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.materialize import Materializer, resolve
+
 
 def _hungarian_min(cost: np.ndarray) -> list[tuple[int, int]]:
     """Exact square LSAP (minimize): shortest-augmenting-path Hungarian
@@ -122,6 +124,7 @@ def dedupe_matches_lsap(
     id_b: str = "b_rec_id",
     score: str = "zeta",
     max_lsap_block: int = 2000,
+    materializer: Materializer | None = None,
 ) -> DataFrame:
     """Exact 1:1 assignment (``dedupeMatches(linprog=TRUE)``): maximize
     total score subject to each a/b id matched at most once. Distributed
@@ -134,7 +137,7 @@ def dedupe_matches_lsap(
     # component per a-side node; over-grouping from numeric id collisions
     # across the two sides is harmless (LSAP over a union of disconnected
     # blocks has the same optimum as solving them separately)
-    comp = connected_components(slim.select(id_a, id_b))
+    comp = connected_components(slim.select(id_a, id_b), materializer=materializer)
     tagged = slim.join(
         comp.select(F.col("id").alias(id_a), F.col("cluster_id").alias("__comp")), id_a
     )
@@ -159,6 +162,7 @@ def dedupe_matches(
     score: str = "zeta",
     max_rounds: int = 20,
     method: str = "greedy",
+    materializer: Materializer | None = None,
 ) -> DataFrame:
     """Matched pairs -> 1:1 subset. method='greedy' (mutual-best
     fixpoint, the reference default) or 'lsap' (exact linear-sum
@@ -167,8 +171,11 @@ def dedupe_matches(
     Deterministic: ties broken by (score desc, partner id asc).
     """
     if method == "lsap":
-        return dedupe_matches_lsap(pairs, id_a=id_a, id_b=id_b, score=score)
-    remaining = pairs.select(id_a, id_b, score).localCheckpoint(eager=True)
+        return dedupe_matches_lsap(
+            pairs, id_a=id_a, id_b=id_b, score=score, materializer=materializer
+        )
+    mat = resolve(materializer)
+    remaining = mat(pairs.select(id_a, id_b, score), "greedy_remaining")
     accepted: DataFrame | None = None
 
     for _ in range(max_rounds):
@@ -182,7 +189,7 @@ def dedupe_matches(
         mutual = ranked.where((F.col("ra") == 1) & (F.col("rb") == 1)).select(
             id_a, id_b, score
         )
-        mutual = mutual.localCheckpoint(eager=True)
+        mutual = mat(mutual, "greedy_mutual")
         if mutual.isEmpty():
             break
         accepted = mutual if accepted is None else accepted.unionByName(mutual)
@@ -191,13 +198,13 @@ def dedupe_matches(
             .union(mutual.select(F.col(id_b).alias("uid")))
             .distinct()
         )
-        remaining = (
+        remaining = mat(
             remaining.join(used.withColumnRenamed("uid", id_a), id_a, "left_anti")
             .join(used.withColumnRenamed("uid", id_b), id_b, "left_anti")
-            .select(id_a, id_b, score)
-            .localCheckpoint(eager=True)
+            .select(id_a, id_b, score),
+            "greedy_remaining",
         )
 
     if accepted is None:
         return pairs.select(id_a, id_b, score).limit(0)
-    return accepted.localCheckpoint(eager=True)
+    return mat(accepted, "greedy_accepted")

@@ -43,10 +43,22 @@ def name_reweight(
     em: EMResult,
     *,
     agree_level: int = 2,
+    renormalize_m: bool = False,
+    match_threshold: float = 0.85,
 ) -> DataFrame:
     """Recompute zeta for pairs that AGREE on `field`, substituting the
     value-specific chance-agreement probability p_v^2 for the field's
     global u[agree]. Non-agreeing pairs keep their zeta.
+
+    ``renormalize_m=True`` additionally renormalizes the m side (the
+    reference's fuller adjustment, ``R/nameReweight.R``): the field's
+    global m[agree] is replaced by the value-specific probability of the
+    value AMONG DECLARED MATCHES — m_v = share of value v among agreeing
+    pairs whose (original) zeta >= match_threshold. Rare-but-matching
+    values thus get a second boost beyond the u swap; values never seen
+    among matches fall back to the global m[agree] (adjustment 1 on the
+    m side). The m_v table is one tiny distributed agg over the agreeing
+    matched pairs, broadcast back.
 
     Requires columns a_<field> and gamma_<field> on the pair rows.
     """
@@ -65,13 +77,28 @@ def name_reweight(
         F.lit(u_agree) / F.greatest(F.col("p_v") * F.col("p_v"), F.lit(1e-12)), F.lit(1.0)
     )
     new_odds = odds * adj
+    if renormalize_m:
+        matched = pairs_with_zeta.where(
+            (F.col(gcol) == agree_level) & (F.col("zeta") >= match_threshold)
+        )
+        tot = matched.count()
+        if tot > 0:
+            mfreq = (
+                matched.where(F.col(f"a_{field}").isNotNull())
+                .groupBy(f"a_{field}")
+                .agg((F.count("*") / F.lit(tot)).alias("m_v"))
+            )
+            agreeing = agreeing.join(F.broadcast(mfreq), f"a_{field}", "left")
+            # swap m[agree] for m_v => further multiply odds by m_v/m_agree
+            new_odds = new_odds * F.coalesce(
+                F.col("m_v") / F.lit(m_agree), F.lit(1.0)
+            )
     reweighted = agreeing.withColumn(
         "zeta_reweighted", F.least(new_odds / (1 + new_odds), F.lit(1.0))
-    ).drop("p_v")
+    ).drop("p_v", "m_v")
     rest = pairs_with_zeta.where(
         F.col(gcol).isNull() | (F.col(gcol) != agree_level)
     ).withColumn("zeta_reweighted", F.col("zeta"))
-    _ = m_agree  # kept for parity notes: reference also renormalizes m
     return reweighted.unionByName(rest)
 
 

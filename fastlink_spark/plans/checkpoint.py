@@ -35,6 +35,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def content_fingerprint(df: DataFrame) -> tuple[int, str]:
+    """One-pass (row_count, checksum) over every column. bit_xor ALONE
+    is self-canceling on duplicate rows (an upstream rebuild swapping
+    two copies of row X for two copies of row Y would fingerprint
+    identically); the decimal SUM term breaks that — any multiplicity
+    change moves the sum. Both terms are order-insensitive, so the
+    checksum is partitioning-independent."""
+    h = F.xxhash64(*[F.col(c) for c in df.columns])
+    agg = df.agg(
+        F.count("*").alias("rows"),
+        F.bit_xor(h).alias("xor"),
+        F.sum(h.cast("decimal(38,0)")).alias("hsum"),
+    ).collect()[0]
+    rows = int(agg["rows"])
+    fingerprint = (
+        f"{rows}:{agg['xor'] if agg['xor'] is not None else 0}"
+        f":{agg['hsum'] if agg['hsum'] is not None else 0}"
+    )
+    return rows, fingerprint
+
+
 class CheckpointManager:
     def __init__(self, spark: SparkSession, root: str | None, config_token: str = ""):
         self.spark = spark
@@ -66,9 +87,13 @@ class CheckpointManager:
             # no on-disk checkpoint root: still materialize + cut lineage
             # (generator/HOF expressions must never be re-inlined into
             # downstream Generate/Join nodes — see minhash.py plan-size
-            # note; localCheckpoint is the in-memory stand-in for the
-            # Iceberg/parquet stage write).
-            df = build().localCheckpoint(eager=True)
+            # note; DISK_ONLY localCheckpoint is the in-process stand-in
+            # for the Iceberg/parquet stage write — the default
+            # deserialized level anti-scales in a many-thread block
+            # manager, see plans/materialize.py).
+            from .materialize import disk_only
+
+            df = disk_only(build(), name)
             self.metrics[name] = {"rows": None, "resumed": False}
             return df
         data_path, manifest_path = self._paths(name)
@@ -95,14 +120,7 @@ class CheckpointManager:
         df = build()
         df.write.mode("overwrite").parquet(data_path)
         out = self.spark.read.parquet(data_path)
-        # one pass: row count + order-insensitive content checksum
-        # (bit_xor of per-row xxhash64 over every column)
-        agg = out.agg(
-            F.count("*").alias("rows"),
-            F.bit_xor(F.xxhash64(*[F.col(c) for c in out.columns])).alias("xor"),
-        ).collect()[0]
-        rows = int(agg["rows"])
-        fingerprint = f"{rows}:{agg['xor'] if agg['xor'] is not None else 0}"
+        rows, fingerprint = content_fingerprint(out)
         man: dict = {
             "stage": name,
             "token": token,
@@ -124,6 +142,19 @@ class CheckpointManager:
         self.metrics[name] = {"rows": rows, "resumed": False, "wall_sec": man["wall_sec"]}
         self.fingerprints[name] = fingerprint
         return out
+
+    def materializer(self):
+        """Handle for OPERATOR-INTERNAL lineage cuts (CC rounds, LSH
+        key tables, greedy-fixpoint state): parquet subdirs under
+        ``<root>/_op_stages`` when a checkpoint root exists (the
+        fault-tolerant production shape), DISK_ONLY localCheckpoint
+        otherwise. These cuts are transient scratch — they carry no
+        resume token and are rewritten on every run."""
+        from .materialize import disk_only, parquet_materializer
+
+        if self.root is None:
+            return disk_only
+        return parquet_materializer(os.path.join(self.root, "_op_stages"))
 
     def put_json(self, name: str, payload: str) -> None:
         if self.root is None:

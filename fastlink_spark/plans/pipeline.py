@@ -221,12 +221,18 @@ def link_dedupe(
     )
 
     fields = list(cfg.fields)
+    # Repartition before the UDF stage ONLY when the pair stream arrives
+    # in fewer partitions than 4x cores: smooths per-partition JW-content
+    # skew (the gamma wall is set by the slowest task) for small/skewed
+    # inputs, but at 100 TB the candidate-pair table is the job's largest
+    # table and already lands in thousands of well-distributed partitions
+    # — a full exchange there would be the bottleneck. AQE's skew
+    # handling covers the residual case.
     par = spark.sparkContext.defaultParallelism * 4
+    gamma_src = cand if cand.rdd.getNumPartitions() >= par else cand.repartition(par)
     scored = ckpt.stage(
         "pairs_gamma",
-        # repartition before the UDF stage: smooths per-partition
-        # JW-content skew (the gamma wall is set by the slowest task)
-        lambda: gammas.with_gammas(cand.repartition(par), fields),
+        lambda: gammas.with_gammas(gamma_src, fields),
         inputs=("candidate_pairs",),
     )
 
@@ -300,13 +306,43 @@ def link_dedupe(
     matched = ckpt.stage("matched_pairs", _build_matched, inputs=("pairs_gamma",))
 
     nodes = records.select("rec_id")
-    labels = ckpt.stage(
-        "clusters",
-        lambda: cluster.connected_components(
-            matched.select("a_rec_id", "b_rec_id"), nodes.withColumnRenamed("rec_id", "id")
-        ),
-        inputs=("matched_pairs",),
-    )
+
+    def _build_clusters() -> DataFrame:
+        edges = matched.select("a_rec_id", "b_rec_id")
+        nodes_df = nodes.withColumnRenamed("rec_id", "id")
+        mat = ckpt.materializer()
+        if not cfg.wide_rec_id:
+            return cluster.connected_components(edges, nodes_df, materializer=mat)
+        # Wide (128-bit hex) keys: CC shuffles every id twice per round,
+        # so map keys to collision-free dense longs first (8-byte vs
+        # 32-byte shuffle keys over O(log n) rounds), run CC on longs,
+        # then relabel each component to min(wide key) — output is
+        # IDENTICAL to running CC on the wide keys directly
+        # (test_round2::test_wide_rec_id_pipeline_equivalent_clusters).
+        idmap = cluster.dense_long_ids(nodes_df, "id", materializer=mat).select(
+            F.col("id").alias("rid"), "dense_id"
+        )
+        e_dense = (
+            edges.join(
+                idmap.select(F.col("rid").alias("a_rec_id"), F.col("dense_id").alias("u")),
+                "a_rec_id",
+            )
+            .join(
+                idmap.select(F.col("rid").alias("b_rec_id"), F.col("dense_id").alias("v")),
+                "b_rec_id",
+            )
+            .select("u", "v")
+        )
+        cc_d = cluster.connected_components(
+            e_dense, idmap.select(F.col("dense_id").alias("id")), materializer=mat
+        )
+        lab = cc_d.join(idmap.select(F.col("dense_id").alias("id"), "rid"), "id")
+        canon = lab.groupBy("cluster_id").agg(F.min("rid").alias("canon"))
+        return lab.join(canon, "cluster_id").select(
+            F.col("rid").alias("id"), F.col("canon").alias("cluster_id")
+        )
+
+    labels = ckpt.stage("clusters", _build_clusters, inputs=("matched_pairs",))
 
     entities = labels.withColumnRenamed("id", "rec_id").join(
         records.select("rec_id", "url"), "rec_id"

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..em import EMResult, apply_em
 from ..operators import gammas
+from ..plans.materialize import disk_only
 from ..plans.pipeline import LinkageConfig, prepare_pages
 
 
@@ -104,7 +105,7 @@ class IncrementalLinker:
         """Link one micro-batch; returns the new entities rows."""
         cfg = self.cfg
         fields = list(cfg.fields)
-        new_rec = prepare_pages(new_pages, cfg).localCheckpoint(eager=True)
+        new_rec = disk_only(prepare_pages(new_pages, cfg), "new_rec")
 
         old_rec = self._read_state("records")
         attrs = ["rec_id"] + [f.name for f in fields]
@@ -186,8 +187,8 @@ class IncrementalLinker:
             )
         else:
             new_ent = new_ids.withColumn("cluster_id", F.col("rec_id"))
-        new_ent = new_ent.join(new_rec.select("rec_id", "url"), "rec_id").localCheckpoint(
-            eager=True
+        new_ent = disk_only(
+            new_ent.join(new_rec.select("rec_id", "url"), "rec_id"), "new_ent"
         )
 
         # Reconcile: matched pairs whose endpoints got DIFFERENT labels
@@ -243,11 +244,14 @@ class IncrementalLinker:
                     [(k, v) for k, v in resolved.items() if k != v],
                     "cluster_id long, __to long",
                 )
-                new_ent = new_ent.join(F.broadcast(mdf), "cluster_id", "left").select(
-                    "rec_id",
-                    F.coalesce("__to", "cluster_id").alias("cluster_id"),
-                    "url",
-                ).localCheckpoint(eager=True)
+                new_ent = disk_only(
+                    new_ent.join(F.broadcast(mdf), "cluster_id", "left").select(
+                        "rec_id",
+                        F.coalesce("__to", "cluster_id").alias("cluster_id"),
+                        "url",
+                    ),
+                    "new_ent_relabel",
+                )
 
         new_rec.write.mode("append").parquet(self._path("records"))
         new_ent.write.mode("append").parquet(self._path("entities"))

@@ -66,16 +66,46 @@ def run_windowed_counts_to_memory(
     query_name: str = "windowed_counts",
     **agg_kwargs,
 ):
-    """File-source wiring: readStream(parquet) -> windowed agg ->
+    """TEST-ONLY wiring: readStream(parquet) -> windowed agg ->
     complete-mode memory sink, availableNow trigger (drains everything
     currently in the directory, then stops — incremental across restarts
-    via the checkpoint)."""
+    via the checkpoint). In complete mode Spark never evicts window
+    state, so the module docstring's bounded-state claim does NOT apply
+    to this runner — it exists so tests can assert streamed == batch on
+    the full history. The production shape is
+    ``run_windowed_counts_to_files`` below (append mode: the watermark
+    actually bounds state)."""
     stream = spark.readStream.schema(schema).parquet(input_dir)
     agg = windowed_event_counts(stream, **agg_kwargs)
     return (
         agg.writeStream.format("memory")
         .queryName(query_name)
         .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_windowed_counts_to_files(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    schema,
+    **agg_kwargs,
+):
+    """PRODUCTION wiring: readStream(parquet) -> watermarked windowed
+    agg -> append-mode parquet sink. A window row is emitted exactly
+    once, when the watermark passes the window end; its state is then
+    evicted, so state really is bounded by (watermark horizon x key
+    cardinality). Rows later than the watermark are dropped."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    agg = windowed_event_counts(stream, **agg_kwargs)
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -1,0 +1,220 @@
+"""Round-3 additions: nameReweight m-renormalization, corrupt-media
+robustness (wave.Error / bad-bpp BMP), incremental NEAR-DUP linkage via
+cross-batch minhash bands, injectable parquet materializer parity, and
+the multiplicity-sensitive checkpoint content fingerprint."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------- nameReweight m-renormalization
+
+def test_name_reweight_m_renormalization(spark):
+    """renormalize_m=True must swap the global m[agree] for the
+    value-specific share among declared matches: odds multiply by
+    m_v / m_agree exactly; non-agreeing pairs untouched."""
+    from fastlink_spark.em import emlink_mar
+    from fastlink_spark.operators.reweight import name_reweight
+
+    patt = pd.DataFrame({"gamma_name": [2, 0], "cnt": [100, 900]})
+    em = emlink_mar(patt, ["gamma_name"])
+    m_agree = em.m["gamma_name"][em.levels["gamma_name"].index(2)]
+    records = spark.createDataFrame(
+        [(i, "common") for i in range(90)] + [(i + 100, "rare") for i in range(2)],
+        "rec_id long, name string",
+    )
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, "common", 2, 0.9),
+            (3, 4, "common", 2, 0.9),
+            (5, 6, "rare", 2, 0.9),
+            (7, 8, "common", 2, 0.7),  # below match_threshold: not in m_v stats
+            (9, 10, "x", 0, 0.2),  # non-agreeing: zeta passes through
+        ],
+        "a_rec_id long, b_rec_id long, a_name string, gamma_name int, zeta double",
+    )
+    base = {
+        r["a_rec_id"]: r["zeta_reweighted"]
+        for r in name_reweight(pairs, records, "name", em).collect()
+    }
+    full = {
+        r["a_rec_id"]: r["zeta_reweighted"]
+        for r in name_reweight(
+            pairs, records, "name", em, renormalize_m=True, match_threshold=0.85
+        ).collect()
+    }
+    # matched agreeing pairs: {1,3}=common, {5}=rare -> m_common=2/3, m_rare=1/3
+    for a_id, m_v in ((1, 2 / 3), (5, 1 / 3), (7, 2 / 3)):
+        assert full[a_id] != base[a_id], f"m-renorm must change pair {a_id}"
+        odds0 = base[a_id] / (1 - base[a_id])
+        expect = odds0 * (m_v / m_agree)
+        assert full[a_id] == pytest.approx(expect / (1 + expect), rel=1e-9)
+    assert full[9] == pytest.approx(base[9])  # non-agreeing untouched
+
+
+# ------------------------------------------------- corrupt media payloads
+
+def test_multimodal_corrupt_wav_and_bad_bmp(spark):
+    """A malformed RIFF/WAV payload (wave.Error) and an unsupported-bpp
+    BMP must come back ok=False rows, never a task failure (r2 ADVICE)."""
+    import struct
+
+    from fastlink_spark.multimodal import extract_features, with_media_metadata
+
+    bad_wav = b"RIFF" + b"\x10\x00\x00\x00" + b"WAVEfmt garbage-not-a-chunk-table"
+    # valid BM magic + BITMAPINFOHEADER claiming 32 bpp (unsupported)
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + 4, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 32, 0, 4, 2835, 2835, 0, 0)
+    bad_bmp = header + info + b"\x00\x00\x00\x00"
+    truncated_ppm = b"P6\n"  # header ends before width/height/maxval
+
+    rows = [(1, bad_wav, "audio/wav"), (2, bad_bmp, "image/bmp"), (3, truncated_ppm, "image/ppm")]
+    media = None
+    for doc_id, payload, mt in rows:
+        df = spark.createDataFrame([(doc_id, payload)], "id long, payload binary")
+        part = with_media_metadata(df, "id", "payload", mt)
+        media = part if media is None else media.unionByName(part)
+    out = {r["doc_id"]: r for r in extract_features(media, dim=16).collect()}
+    assert len(out) == 3
+    for i in (1, 2, 3):
+        assert out[i]["ok"] is False and out[i]["feature"] is None
+
+
+# ------------------------------------- incremental near-dup via band keys
+
+def _mk_pages(spark, rows):
+    from datetime import datetime
+
+    data = [
+        (
+            url,
+            datetime(2026, 7, 1),
+            f"<html><head><title>{title}</title></head><body>{text}</body></html>".encode(),
+            text,
+            "en",
+        )
+        for url, title, text in rows
+    ]
+    return spark.createDataFrame(
+        data, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+
+def _toy_em():
+    from fastlink_spark.em import EMResult
+
+    levels = {"gamma_url_norm": [0, 1, 2], "gamma_title": [0, 1, 2], "gamma_text_hash": [0, 2]}
+    flat = {"gamma_url_norm": [1 / 3, 1 / 3, 1 / 3]}
+    m = dict(flat, gamma_title=[0.2, 0.05, 0.75], gamma_text_hash=[0.25, 0.75])
+    u = dict(flat, gamma_title=[0.9, 0.05, 0.05], gamma_text_hash=[0.95, 0.05])
+    return EMResult(
+        gamma_cols=list(levels), levels=levels, lam=0.5, m=m, u=u, iterations=1, converged=True
+    )
+
+
+_RECRAWL_TOKENS = [f"tok{i}" for i in range(40)]
+
+
+def test_incremental_near_dup_recrawl_joins_cluster(spark, tmp_path):
+    """A perturbed re-crawl of an existing page — DIFFERENT host (so no
+    shared host block), one token of text changed (so no exact
+    text_hash), same title — must join the original's cluster across
+    batches: the ONLY candidate-generating key is a shared minhash band
+    (new batch bands joined against the persisted corpus index)."""
+    from fastlink_spark.plans.pipeline import LinkageConfig
+    from fastlink_spark.streaming.incremental import IncrementalLinker
+
+    text1 = " ".join(_RECRAWL_TOKENS)
+    text2 = " ".join(["CHANGED" if i == 20 else t for i, t in enumerate(_RECRAWL_TOKENS)])
+    linker = IncrementalLinker(
+        spark, str(tmp_path / "st"), _toy_em(), LinkageConfig(threshold=0.5)
+    )
+    linker.process_batch(
+        _mk_pages(spark, [("https://hostone.example.com/orig", "recrawl title x", text1)])
+    )
+    linker.process_batch(
+        _mk_pages(spark, [("https://hosttwo.example.com/copy", "recrawl title x", text2)])
+    )
+    ents = linker.entities().collect()
+    assert len(ents) == 2
+    assert len({r["cluster_id"] for r in ents}) == 1, ents
+
+
+def test_incremental_near_dup_requires_band_keys(spark, tmp_path):
+    """Negative control for the test above: with minhash blocking OFF the
+    two pages share no block key, generate no candidate pair, and stay
+    in separate clusters — proving the band index is the match path."""
+    from fastlink_spark.plans.pipeline import LinkageConfig
+    from fastlink_spark.streaming.incremental import IncrementalLinker
+
+    text1 = " ".join(_RECRAWL_TOKENS)
+    text2 = " ".join(["CHANGED" if i == 20 else t for i, t in enumerate(_RECRAWL_TOKENS)])
+    linker = IncrementalLinker(
+        spark,
+        str(tmp_path / "st"),
+        _toy_em(),
+        LinkageConfig(threshold=0.5, use_minhash_block=False),
+    )
+    linker.process_batch(
+        _mk_pages(spark, [("https://hostone.example.com/orig", "recrawl title x", text1)])
+    )
+    linker.process_batch(
+        _mk_pages(spark, [("https://hosttwo.example.com/copy", "recrawl title x", text2)])
+    )
+    ents = linker.entities().collect()
+    assert len({r["cluster_id"] for r in ents}) == 2
+
+
+# ------------------------------------------- injectable materialization
+
+def test_corpus_dedup_parquet_materializer_parity(spark, tmp_path):
+    """corpus_dedup driven with the production-shape parquet materializer
+    must produce exactly the default (DISK_ONLY localCheckpoint) result;
+    the parquet stage dirs must actually exist (the cut ran)."""
+    import os
+
+    from fastlink_spark.operators.dedup import corpus_dedup
+    from fastlink_spark.plans.materialize import parquet_materializer
+
+    texts = ["alpha beta gamma delta epsilon zeta eta theta " * 3] * 3
+    texts += ["one two three four five six seven eight nine ten " * 3]
+    texts += ["totally different words here padd padd padd padd padd " * 3]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    base = sorted(
+        (r["id"], r["cluster_id"], r["keep"])
+        for r in corpus_dedup(docs, "doc_id", "text", w=3, min_jaccard=0.8).collect()
+    )
+    root = str(tmp_path / "op_stages")
+    via_parquet = sorted(
+        (r["id"], r["cluster_id"], r["keep"])
+        for r in corpus_dedup(
+            docs, "doc_id", "text", w=3, min_jaccard=0.8,
+            materializer=parquet_materializer(root),
+        ).collect()
+    )
+    assert base == via_parquet
+    assert any("cc_round" in d for d in os.listdir(root))
+    assert any("minhash_bands" in d for d in os.listdir(root))
+
+
+# ------------------------------------- multiplicity-sensitive fingerprint
+
+def test_content_fingerprint_sees_even_multiplicity_swap(spark):
+    """count + bit_xor alone is blind to swapping two copies of row X
+    for two copies of row Y (XOR self-cancels); the added SUM term must
+    distinguish them (r2 ADVICE on checkpoint.py)."""
+    from fastlink_spark.plans.checkpoint import content_fingerprint
+
+    df_x = spark.createDataFrame([(7, "x"), (7, "x")], "a int, b string")
+    df_y = spark.createDataFrame([(9, "y"), (9, "y")], "a int, b string")
+    rx, fx = content_fingerprint(df_x)
+    ry, fy = content_fingerprint(df_y)
+    assert rx == ry == 2
+    xor_x, xor_y = fx.split(":")[1], fy.split(":")[1]
+    assert xor_x == xor_y == "0"  # the old checksum really was blind
+    assert fx != fy  # the sum term catches it
