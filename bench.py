@@ -96,24 +96,29 @@ def main() -> None:
 
     t = time.time()
     # 4x cores: smooth per-partition JW-content skew into the UDF stage
-    # (task tail dominates otherwise); DISK_ONLY store — the deserialized
-    # block store anti-scales at 32 local threads (see above)
-    from pyspark import StorageLevel
-
-    cand = (
-        spark.read.parquet(pairs_dir)
-        .repartition(cpus * 4)
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
-    )
-    cand.count()
+    # (task tail dominates otherwise); parquet re-write, NOT
+    # localCheckpoint — the local-mode block store anti-scales at many
+    # threads (measured 132-145 s deserialized / 60.8 s DISK_ONLY vs
+    # 45.5 s parquet at 32 cores), and on a real cluster the parquet
+    # (Iceberg) checkpoint is the fault-tolerant production shape anyway
+    rep_dir = os.path.join(tempfile.mkdtemp(prefix="flbench_"), "pairs_rep")
+    spark.read.parquet(pairs_dir).repartition(cpus * 4).write.mode("overwrite").parquet(rep_dir)
+    cand = spark.read.parquet(rep_dir)
     queries["pairs_materialize"] = round(time.time() - t, 3)
 
     fields = list(cfg.fields)
+    # 50k-row Arrow batches for the scoring stage: amortizes per-batch
+    # UDF overhead and widens the unique-pair factorization window of
+    # the JW kernel (measured: ~7% faster at BOTH 4 and 16 cores vs the
+    # 10k default; a few MB per batch for these slim string columns)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
     # warm the Python UDF workers + page cache on a slice of the REAL
     # pair table (the 400-page warm-up above compiles codegen but leaves
     # the per-worker Arrow pipelines cold for this data shape); warm-up
     # discarded per the BASELINE.md protocol
-    gammas.pattern_counts(gammas.with_gammas(cand.limit(50_000), fields), fields).collect()
+    gammas.pattern_counts(
+        gammas.with_gammas(cand.limit(60_000).repartition(cpus * 2), fields), fields
+    ).collect()
     gamma_wall = float("inf")
     for _rep in range(2):  # best-of-2: damp cloud-VM noise on the headline
         t = time.time()
@@ -121,12 +126,7 @@ def main() -> None:
         gamma_wall = min(gamma_wall, time.time() - t)
     queries["gamma_scoring"] = round(gamma_wall, 3)
     pairs_per_sec = n_pairs / gamma_wall if gamma_wall > 0 else 0.0
-
-    # release the gamma-stage cache before e2e: a clean-process probe
-    # measured e2e ~flat 16->32 (48.8 vs 53.9 s) while e2e after the
-    # stage benches regressed — block-manager residue from the earlier
-    # localCheckpoint was the difference
-    cand.unpersist(blocking=True)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
 
     # e2e in PRODUCTION shape: parquet checkpoint per stage (an Iceberg
     # table on a real cluster); fresh dir => no resume, full recompute

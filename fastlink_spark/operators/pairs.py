@@ -11,19 +11,26 @@ as backstop.
 
 Triangle salting (self-join form): each row in a skewed block gets salt
 s = pmod(xxhash64(id), S); the quadratic block is covered exactly once
-by the S*(S+1)/2 sub-joins {(sa, sb) : sa <= sb}, enumerated via a tiny
-broadcast combo table. Unskewed blocks ride the same path with S=1
-(single (0,0) combo) — one code path, no union.
+by the S*(S+1)/2 grid cells {(sa, sb) : sa <= sb}. BOTH sides replicate
+over the grid (a-row with salt x -> cells (x, sb >= x); b-row with salt
+y -> cells (sa <= y, y)) so the shuffle-join key is the full cell
+(block_key, sa, sb): every reduce unit is bounded by ~target_block^2
+comparisons regardless of block size. Keying only (block_key, sb) —
+the one-sided variant — leaves S co-resident cells per reduce key
+(~target^2 * S pairs), a straggler that flattens scaling (measured:
+one 4.7k-row unsalted block emitted 11.3M/17M pairs in one task;
+wall identical at local[4] and local[16]). Unskewed blocks ride the
+same path with S=1 (single (0,0) cell) — one code path, no union.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-DEFAULT_SKEW_THRESHOLD = 5_000  # block size above which we salt
-DEFAULT_TARGET_BLOCK = 2_500  # aim for ~target^2/2 comparisons per task
-MAX_SALTS = 64
+DEFAULT_SKEW_THRESHOLD = 1_000  # block size above which we salt
+DEFAULT_TARGET_BLOCK = 500  # aim for ~target^2/2 comparisons per reduce cell
+MAX_SALTS = 128
 
 
 def _salt_plan(profile: DataFrame, skew_threshold: int, target: int) -> DataFrame:
@@ -35,12 +42,6 @@ def _salt_plan(profile: DataFrame, skew_threshold: int, target: int) -> DataFram
             F.least(F.ceil(F.col("n") / target), F.lit(MAX_SALTS)).cast("int").alias("s_cnt"),
         )
     )
-
-
-def _combos(spark: SparkSession, s_values: list[int]) -> DataFrame:
-    """Tiny (s_cnt, sa, sb) table: sa<=sb triangle combos per salt count."""
-    rows = [(s, a, b) for s in s_values for a in range(s) for b in range(a, s)]
-    return spark.createDataFrame(rows, "s_cnt int, sa int, sb int")
 
 
 def candidate_pairs(
@@ -63,11 +64,8 @@ def candidate_pairs(
     pair under several keys; ``dedupe_pairs`` keeps one winner via
     dropDuplicates on the canonical pair id (SURVEY.md O2).
     """
-    spark = blocked.sparkSession
     profile = blocked.groupBy("block_key").agg(F.count("*").alias("n"))
     plan = _salt_plan(profile, skew_threshold, target_block)
-    s_values = sorted({r.s_cnt for r in plan.collect()} | {1})
-    combos = _combos(spark, s_values)
 
     rows = (
         blocked.join(F.broadcast(plan), "block_key", "left")
@@ -76,34 +74,45 @@ def candidate_pairs(
     )
 
     attr_cols = [c for c in blocked.columns if c not in ("block_key",)]
-    left = rows.join(F.broadcast(combos), ["s_cnt"], "inner").where(F.col("salt") == F.col("sa"))
-    a = left.select(
+    # Grid replication via explode(sequence(...)): a-row with salt x
+    # covers cells (x, sb in [x, S)), b-row with salt y covers cells
+    # (sa in [0, y], y). Per-row fan-out totals S+1 across the two
+    # sides — slim rows, and only for blocks the plan actually salts.
+    a = rows.withColumn(
+        "sb", F.explode(F.sequence(F.col("salt"), F.col("s_cnt") - F.lit(1)))
+    ).select(
         F.col("block_key").alias("a_bk"),
-        "sa",
-        "sb",
+        F.col("salt").alias("sa"),
+        F.col("sb").cast("int").alias("sb"),
         *[F.col(c).alias(f"a_{c}") for c in attr_cols],
     )
-    b = rows.select(
+    b = rows.withColumn(
+        "sa", F.explode(F.sequence(F.lit(0), F.col("salt")))
+    ).select(
         F.col("block_key").alias("b_bk"),
-        F.col("salt").alias("b_salt"),
+        F.col("sa").cast("int").alias("b_sa"),
+        F.col("salt").alias("b_sb"),
         *[F.col(c).alias(f"b_{c}") for c in attr_cols],
     )
     # Oriented triangle: each unordered pair is produced exactly once —
-    # via its (min_salt -> left, max_salt -> right) orientation, or by
-    # id order on the diagonal (equal salts). The id inequality must NOT
-    # be applied to off-diagonal combos (salt order is independent of id
-    # order; filtering by both silently drops ~half the cross-salt
-    # pairs — caught by the q02 salted-vs-unsalted DuckDB oracle).
+    # a pair with salts (x, y), x < y, materializes only in cell (x, y)
+    # (the a-side never covers (y, x): it explodes sb >= its own salt),
+    # and equal-salt pairs live on the diagonal where the id inequality
+    # keeps one orientation. The id inequality must NOT be applied to
+    # off-diagonal cells (salt order is independent of id order;
+    # filtering by both silently drops ~half the cross-salt pairs —
+    # caught by the q02 salted-vs-unsalted DuckDB oracle).
     pairs = a.join(
         b,
         on=[
             F.col("a_bk") == F.col("b_bk"),
-            F.col("sb") == F.col("b_salt"),
+            F.col("sa") == F.col("b_sa"),
+            F.col("sb") == F.col("b_sb"),
             (F.col("sa") < F.col("sb"))
             | ((F.col("sa") == F.col("sb")) & (F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))),
         ],
         how="inner",
-    ).drop("sa", "sb", "b_salt", "a_bk", "b_bk")
+    ).drop("sa", "sb", "b_sa", "b_sb", "a_bk", "b_bk")
 
     # canonicalize to id_a < id_b (swap whole attr sets where needed)
     swap = F.col(f"a_{id_col}") > F.col(f"b_{id_col}")
@@ -134,14 +143,18 @@ def candidate_pairs_two(
 ) -> DataFrame:
     """Two-table (dfA x dfB) blocked join — the reference's primary
     linkage mode (``R/fastLink.R • fastLink(dfA, dfB, ...)``), as
-    opposed to the dedupe self-join. Skew split: rows of the LARGER
-    (A) side of a hot block get salt = pmod(xxhash64(id), S); the B
-    side of that block is replicated to all S salts via a broadcast
-    salt-sequence join, so each (block, salt) cell joins independently.
+    opposed to the dedupe self-join. Skew split is a full S x T grid:
+    in a hot block, A-rows get i = pmod(xxhash64(id), S) and replicate
+    over j in [0, T); B-rows get j = pmod(xxhash64(id), T) and
+    replicate over i in [0, S); the shuffle-join key is the cell
+    (block_key, i, j), so every reduce unit is bounded by
+    ~target_block^2 comparisons even when BOTH sides of a block are
+    huge (one-sided salting leaves (na/S) * nb per cell — unbounded
+    in nb). Replicated row volume is na*T + nb*S ~ 2*na*nb/target:
+    proportional to the pair count the cell join must emit anyway.
 
     Inputs: (block_key, id, attrs...) per side; outputs a_*/b_* columns.
     """
-    spark = blocked_a.sparkSession
     prof = (
         blocked_a.groupBy("block_key").agg(F.count("*").alias("na"))
         .join(blocked_b.groupBy("block_key").agg(F.count("*").alias("nb")), "block_key")
@@ -151,7 +164,8 @@ def candidate_pairs_two(
         prof.filter(F.col("n") > skew_threshold)
         .select(
             "block_key",
-            F.least(F.ceil(F.col("n") / target_block), F.lit(MAX_SALTS)).cast("int").alias("s_cnt"),
+            F.least(F.ceil(F.col("na") / target_block), F.lit(MAX_SALTS)).cast("int").alias("s_cnt"),
+            F.least(F.ceil(F.col("nb") / target_block), F.lit(MAX_SALTS)).cast("int").alias("t_cnt"),
         )
     )
 
@@ -161,25 +175,38 @@ def candidate_pairs_two(
     a = (
         blocked_a.join(F.broadcast(plan), "block_key", "left")
         .withColumn("s_cnt", F.coalesce(F.col("s_cnt"), F.lit(1)))
-        .withColumn("salt", F.pmod(F.xxhash64(F.col(id_col)), F.col("s_cnt")).cast("int"))
-        .select("block_key", "salt", *[F.col(c).alias(f"a_{c}") for c in a_cols])
+        .withColumn("t_cnt", F.coalesce(F.col("t_cnt"), F.lit(1)))
+        .withColumn("i", F.pmod(F.xxhash64(F.col(id_col)), F.col("s_cnt")).cast("int"))
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.col("t_cnt") - F.lit(1))))
+        .select(
+            "block_key",
+            "i",
+            F.col("j").cast("int").alias("j"),
+            *[F.col(c).alias(f"a_{c}") for c in a_cols],
+        )
     )
     b = (
         blocked_b.join(F.broadcast(plan), "block_key", "left")
         .withColumn("s_cnt", F.coalesce(F.col("s_cnt"), F.lit(1)))
-        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.col("s_cnt") - 1)))
-        .withColumn("salt", F.col("salt").cast("int"))
+        .withColumn("t_cnt", F.coalesce(F.col("t_cnt"), F.lit(1)))
+        .withColumn("j", F.pmod(F.xxhash64(F.col(id_col)), F.col("t_cnt")).cast("int"))
+        .withColumn("i", F.explode(F.sequence(F.lit(0), F.col("s_cnt") - F.lit(1))))
         .select(
             F.col("block_key").alias("b_bk"),
-            F.col("salt").alias("b_salt"),
+            F.col("i").cast("int").alias("b_i"),
+            F.col("j").alias("b_j"),
             *[F.col(c).alias(f"b_{c}") for c in b_cols],
         )
     )
     pairs = a.join(
         b,
-        on=[F.col("block_key") == F.col("b_bk"), F.col("salt") == F.col("b_salt")],
+        on=[
+            F.col("block_key") == F.col("b_bk"),
+            F.col("i") == F.col("b_i"),
+            F.col("j") == F.col("b_j"),
+        ],
         how="inner",
-    ).drop("block_key", "b_bk", "salt", "b_salt")
+    ).drop("block_key", "b_bk", "i", "j", "b_i", "b_j")
     if dedupe_pairs:
         pairs = pairs.dropDuplicates([f"a_{id_col}", f"b_{id_col}"])
     return pairs
