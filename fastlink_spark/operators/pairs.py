@@ -6,7 +6,7 @@ Reference analogue: the implicit |A|x|B| pair space of
 algebra, ``src/ m_func_par``) — dissolved here into blocking + equi-join
 (SURVEY.md X3/X5, J3/J7). The Zipf-skewed host distribution of web data
 makes hot block keys inevitable; per BASELINE.json north_star the skew
-split is EXPLICIT (triangle-salted self-join), with AQE skew-join only
+split is EXPLICIT (grid-cell-salted self-join), with AQE skew-join only
 as backstop.
 
 Triangle salting (self-join form): each row in a skewed block gets salt
