@@ -654,6 +654,23 @@ def q29_jw_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q30_cluster_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clusterMatch k-means blocking (SURVEY.md A6, R/clusterMatch.R)
+    with a HARD oracle: the operator's Lloyd updates use exact integer
+    sufficient statistics (26 ASCII-letter-pair counts + length, all
+    longs), so the fit is bit-deterministic — a frozen NumPy twin in
+    _fitted_oracles reproduces the centroids exactly and DuckDB
+    recomputes features + argmin assignment from injected centroid
+    literals (identical left-associated double op order). k=8, 8 Lloyd
+    iterations, md5-ordered deterministic init (recomputable in plain
+    Python, unlike xxhash64 — the production default)."""
+    from fastlink_spark.operators.cluster_match import cluster_match
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    out = cluster_match(docs, "text", k=8, id_col="doc_id", n_iter=8, init="md5")
+    return out.select("doc_id", "cluster")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_block_profile": q01_block_profile,
@@ -685,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_name_reweight": q27_name_reweight,
         "q28_match_summary": q28_match_summary,
         "q29_jw_scores": q29_jw_scores,
+        "q30_cluster_match": q30_cluster_match,
     }
 
 
@@ -829,6 +847,75 @@ def _fitted_oracles() -> dict[str, str]:
             " WHERE (a.doc_id * 31 + b.doc_id) % 20 = 0) "
             "SELECT p.id_a, p.id_b, CAST(lit.jw_q AS BIGINT) AS jw_q "
             "FROM p JOIN lit ON p.id_a = lit.id_a AND p.id_b = lit.id_b"
+        )
+
+    # q30: frozen NumPy twin of the exact-integer k-means fit
+    # (operators/cluster_match.py). Integer sufficient statistics make
+    # the Spark fit reduce-order independent, so this twin reproduces
+    # the centroids BIT-exactly; the SQL then recomputes the 27-dim
+    # letter features and the argmin assignment from the injected
+    # centroid literals with the same left-associated double op order.
+    import hashlib
+
+    _letters = "abcdefghijklmnopqrstuvwxyz"
+    drows = con.execute(
+        f"SELECT doc_id, coalesce(text, '') FROM read_parquet('{sf}/documents.parquet') "
+        "ORDER BY doc_id"
+    ).fetchall()
+    if drows:
+        ids = [r[0] for r in drows]
+        X = np.array(
+            [
+                [t.count(ch) + t.count(ch.upper()) for ch in _letters] + [len(t)]
+                for (_i, t) in drows
+            ],
+            dtype=np.int64,
+        )
+        order = sorted(
+            range(len(ids)),
+            key=lambda j: (hashlib.md5(str(ids[j]).encode()).hexdigest(), ids[j]),
+        )
+        k30 = 8
+        cents = [[float(v) for v in X[j]] for j in order[:k30]]
+        for _ in range(8):
+            dcols = []
+            for c in cents:
+                acc = None
+                for i in range(27):
+                    t = X[:, i].astype(np.float64) - c[i]
+                    t = t * t
+                    acc = t if acc is None else acc + t
+                dcols.append(acc)
+            assign = np.argmin(np.stack(dcols, axis=1), axis=1)
+            new_cents = [list(c) for c in cents]
+            for ci in range(k30):
+                mask = assign == ci
+                n_c = int(mask.sum())
+                if n_c:
+                    s_c = X[mask].sum(axis=0)
+                    new_cents[ci] = [int(s_c[i]) / n_c for i in range(27)]
+            if new_cents == cents:
+                break
+            cents = new_cents
+        vexprs = ", ".join(
+            f"CAST(length(t) - length(regexp_replace(t, '[{ch}{ch.upper()}]', '', 'g')) AS BIGINT) AS v{i}"
+            for i, ch in enumerate(_letters)
+        ) + ", CAST(length(t) AS BIGINT) AS v26"
+        dexprs = ", ".join(
+            " + ".join(
+                f"(CAST(v{i} AS DOUBLE) - {c[i]!r})*(CAST(v{i} AS DOUBLE) - {c[i]!r})"
+                for i in range(27)
+            )
+            + f" AS d{j}"
+            for j, c in enumerate(cents)
+        )
+        dlist = "list_value(" + ", ".join(f"d{j}" for j in range(k30)) + ")"
+        out["q30_cluster_match"] = (
+            "WITH t0 AS (SELECT doc_id, coalesce(text, '') AS t FROM documents), "
+            f"f AS (SELECT doc_id, {vexprs} FROM t0), "
+            f"d AS (SELECT doc_id, {dexprs} FROM f) "
+            f"SELECT doc_id, CAST(list_position({dlist}, list_min({dlist})) - 1 AS INTEGER) AS cluster "
+            "FROM d"
         )
     return out
 

@@ -1,0 +1,192 @@
+"""clusterMatch-style k-means blocking (SURVEY.md A6,
+``R/clusterMatch.R • clusterMatch(vecA, vecB, nclusters)``).
+
+The reference embeds strings with an "alphabetical encoding" (letter
+frequencies), runs weighted k-means over the union of both tables, and
+uses the cluster id as the block. This module re-expresses that as
+DataFrame aggregations with one deliberate strengthening: the per-
+cluster sufficient statistic is an EXACT integer sum (26 ASCII-letter
+counts + string length, all longs), so the Lloyd update is reduce-order
+independent — the fitted centroids are bit-identical at any partition
+count or cluster width. MLlib's KMeans float tree-aggregation cannot
+promise that, and the determinism is what makes the whole fit hard-
+oracle-able (q30: a frozen NumPy twin reproduces the centroids exactly
+and DuckDB recomputes the assignment from injected literals).
+
+Scale shape: each Lloyd iteration is one map-side-combining groupBy
+over k×28 longs — shuffle volume is O(k·partitions), independent of
+row count. Assignment is pure whole-stage codegen (k·27 double terms);
+no Python in the loop. Letter counts are case-pair character classes
+(``[aA]``), never locale lowercasing, so JVM / Python / DuckDB agree
+codepoint-for-codepoint.
+
+Deterministic blocking remains the pipeline default (BASELINE.json:6 —
+host + MinHash bands); this operator is the optional clusterMatch
+analogue for schema-free string blocking.
+"""
+
+from __future__ import annotations
+
+import operator
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LETTERS = "abcdefghijklmnopqrstuvwxyz"
+N_DIMS = len(LETTERS) + 1  # 26 letter counts + total length
+MAX_ASSIGN_TERMS = 20_000  # k * N_DIMS codegen-expression guard
+
+
+def letter_features(df: DataFrame, col: str, out: str = "lf_vec") -> DataFrame:
+    """27-dim integer embedding: count of [aA], [bB], ... [zZ] plus
+    total length (the reference's alphabetical encoding, kept integer
+    so downstream sums are exact)."""
+    s = F.coalesce(F.col(col), F.lit(""))
+    dims = [
+        (F.length(s) - F.length(F.regexp_replace(s, f"[{ch}{ch.upper()}]", ""))).cast("long")
+        for ch in LETTERS
+    ]
+    dims.append(F.length(s).cast("long"))
+    return df.withColumn(out, F.array(*dims))
+
+
+def _dist(vec_col: str, cent: list[float]):
+    """Squared distance, left-associated double adds in fixed dim order
+    (the NumPy twin and the DuckDB oracle replicate this op order for
+    bit-equal results)."""
+    terms = []
+    for i, c in enumerate(cent):
+        d = F.element_at(F.col(vec_col), i + 1).cast("double") - F.lit(float(c))
+        terms.append(d * d)
+    return reduce(operator.add, terms)
+
+
+def assign_clusters(
+    feats: DataFrame, centroids: list[list[float]], vec_col: str = "lf_vec"
+) -> DataFrame:
+    """argmin over centroid distances; ties -> lowest cluster id
+    (array_position returns the FIRST occurrence of the minimum)."""
+    if len(centroids) * N_DIMS > MAX_ASSIGN_TERMS:
+        raise ValueError(
+            f"k={len(centroids)} too large for the codegen assignment path "
+            f"(k*{N_DIMS} > {MAX_ASSIGN_TERMS}); shrink k or pre-block"
+        )
+    arr = F.array(*[_dist(vec_col, c) for c in centroids])
+    return feats.withColumn(
+        "cluster", (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+    )
+
+
+def fit_kmeans(
+    feats: DataFrame,
+    k: int,
+    *,
+    id_col: str = "rec_id",
+    weight_col: str | None = None,
+    n_iter: int = 8,
+    init: str = "xxhash64",
+    vec_col: str = "lf_vec",
+) -> list[list[float]]:
+    """Lloyd's algorithm with exact-integer sufficient statistics.
+
+    Init: the k rows with the smallest hash(id) (ties by id) — a
+    deterministic pseudo-random sample. ``init='md5'`` selects a hash
+    that plain Python/DuckDB can recompute (the q30 oracle twin);
+    ``'xxhash64'`` is the cheaper production default. Weighted mode
+    (``weight_col``, integer weights) implements the reference's
+    balanced two-table fit. Empty clusters keep their previous
+    centroid. Converges early when an update is an exact fixpoint.
+    """
+    id_str = F.col(id_col).cast("string")
+    h = F.md5(id_str) if init == "md5" else F.xxhash64(id_str)
+    seed_rows = (
+        feats.select(F.col(vec_col), h.alias("_h"), F.col(id_col).alias("_i"))
+        .orderBy("_h", "_i")
+        .limit(k)
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError("empty input for k-means blocking")
+    cents = [[float(x) for x in r[vec_col]] for r in seed_rows]
+
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    sum_cols = [
+        F.sum(F.element_at(F.col(vec_col), i + 1) * w).alias(f"s{i}") for i in range(N_DIMS)
+    ]
+    for _ in range(n_iter):
+        agg = (
+            assign_clusters(feats, cents, vec_col)
+            .groupBy("cluster")
+            .agg(*sum_cols, F.sum(w).alias("n"))
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]
+        for r in agg:
+            if r["n"]:
+                new_cents[r["cluster"]] = [r[f"s{i}"] / r["n"] for i in range(N_DIMS)]
+        if new_cents == cents:
+            break
+        cents = new_cents
+    return cents
+
+
+def cluster_match(
+    df: DataFrame,
+    col: str,
+    k: int,
+    *,
+    id_col: str = "rec_id",
+    n_iter: int = 8,
+    init: str = "xxhash64",
+    key_prefix: str = "km:",
+) -> DataFrame:
+    """Single-table clusterMatch: adds ``cluster`` and ``block_key``
+    columns; feed the result to ``blockData``-style pairing."""
+    feats = letter_features(df, col)
+    cents = fit_kmeans(feats, k, id_col=id_col, n_iter=n_iter, init=init)
+    return (
+        assign_clusters(feats, cents)
+        .withColumn("block_key", F.concat(F.lit(key_prefix), F.col("cluster")))
+        .drop("lf_vec")
+    )
+
+
+def cluster_match_two(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    k: int,
+    *,
+    id_col: str = "rec_id",
+    n_iter: int = 8,
+    init: str = "xxhash64",
+    key_prefix: str = "km:",
+) -> tuple[DataFrame, DataFrame]:
+    """Two-table clusterMatch (the reference's primary form): fit one
+    k-means over A ∪ B with integer weights |B| resp. |A| (reduced by
+    their gcd) so both tables pull centroids equally regardless of
+    size — the reference's weighted k-means, kept in exact integer
+    arithmetic. Note: weight × letter-count sums must fit a long; at
+    extreme table sizes pre-sample the fit input (assignment is
+    unaffected)."""
+    import math
+
+    na, nb = df_a.count(), df_b.count()
+    if na == 0 or nb == 0:
+        raise ValueError("cluster_match_two needs non-empty tables")
+    g = math.gcd(na, nb)
+    wa, wb = nb // g, na // g
+    fa = letter_features(df_a, col).withColumn("_w", F.lit(wa).cast("long"))
+    fb = letter_features(df_b, col).withColumn("_w", F.lit(wb).cast("long"))
+    both = fa.select(id_col, "lf_vec", "_w").unionByName(fb.select(id_col, "lf_vec", "_w"))
+    cents = fit_kmeans(both, k, id_col=id_col, weight_col="_w", n_iter=n_iter, init=init)
+
+    def _finish(feats: DataFrame) -> DataFrame:
+        return (
+            assign_clusters(feats, cents)
+            .withColumn("block_key", F.concat(F.lit(key_prefix), F.col("cluster")))
+            .drop("lf_vec", "_w")
+        )
+
+    return _finish(fa), _finish(fb)

@@ -337,3 +337,60 @@ def test_candidate_pairs_grid_bounds_reduce_units(spark):
     )
     # expected cell size ~ (n/s)^2 = 200^2 = 40k; allow 3x hash slack
     assert per_cell <= 3 * target * target
+
+
+# ------------------------------------- clusterMatch k-means blocking (A6)
+
+def test_cluster_match_deterministic_across_partitionings(spark):
+    """Exact-integer Lloyd statistics make the fit reduce-order
+    independent: the same input at different partition counts must
+    yield IDENTICAL clusters (MLlib's float tree-agg cannot promise
+    this; it is what lets q30 hard-oracle the whole fit)."""
+    from fastlink_spark.operators.cluster_match import cluster_match
+
+    rows = [(i, f"record number {i} " + "abcdefg"[i % 7] * (i % 11)) for i in range(400)]
+    base = spark.createDataFrame(rows, "rec_id long, name string")
+    out1 = cluster_match(base.repartition(2), "name", k=5)
+    out2 = cluster_match(base.repartition(17), "name", k=5)
+    a1 = sorted((r.rec_id, r.cluster) for r in out1.collect())
+    a2 = sorted((r.rec_id, r.cluster) for r in out2.collect())
+    assert a1 == a2
+    assert len({c for _, c in a1}) > 1  # actually partitions the space
+
+
+def test_cluster_match_identical_strings_share_block(spark):
+    """Identical strings embed identically -> same cluster always; and
+    the emitted block_key feeds blockData-style pairing directly."""
+    from fastlink_spark.operators.cluster_match import cluster_match
+
+    rows = [(i, ["alpha beta", "gamma delta epsilon", "zzzz qqqq"][i % 3]) for i in range(90)]
+    out = cluster_match(
+        spark.createDataFrame(rows, "rec_id long, name string"), "name", k=3
+    )
+    got = {r.rec_id % 3: set() for r in out.collect()}
+    for r in out.collect():
+        got[r.rec_id % 3].add(r.cluster)
+    assert all(len(v) == 1 for v in got.values())
+    assert out.columns.count("block_key") == 1
+
+
+def test_cluster_match_two_weighted_balance(spark):
+    """Two-table fit weights rows |B| resp. |A| (reduced by gcd) so a
+    10x-larger A cannot drown B's geometry: B's tight cluster of
+    'zzzz...' strings must get its own centroid even though A has no
+    such strings and 10x the rows."""
+    from fastlink_spark.operators.cluster_match import cluster_match_two
+
+    a_rows = [(i, f"common english words {i % 5}") for i in range(300)]
+    b_rows = [(1000 + i, "zzzzzzzz qqqqqqq xxxxxx") for i in range(30)]
+    blocked_a, blocked_b = cluster_match_two(
+        spark.createDataFrame(a_rows, "rec_id long, name string"),
+        spark.createDataFrame(b_rows, "rec_id long, name string"),
+        "name",
+        k=4,
+    )
+    b_clusters = {r.cluster for r in blocked_b.collect()}
+    assert len(b_clusters) == 1  # all B rows co-blocked
+    a_in_b = [r for r in blocked_a.collect() if r.cluster in b_clusters]
+    # the z-cluster is B's own: few/no A rows land there
+    assert len(a_in_b) < 30
