@@ -394,3 +394,32 @@ def test_cluster_match_two_weighted_balance(spark):
     a_in_b = [r for r in blocked_a.collect() if r.cluster in b_clusters]
     # the z-cluster is B's own: few/no A rows land there
     assert len(a_in_b) < 30
+
+
+# ------------------------------------- vectorized simhash kernel twin
+
+def test_simhash_udf_bit_identical_to_expression(spark):
+    """The Arrow/numpy majority-vote kernel must reproduce the HOF
+    expression fingerprint BIT-exactly for both hash widths (xxhash64
+    64-bit, md5-twin 60-bit), including null/empty texts."""
+    from fastlink_spark.functions import simhash as sh
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumped over the lazy dog"),
+        (2, ""),
+        (3, None),
+        (4, "a"),
+        (5, "unicode tøkens häßlich çafé " * 7),
+        (6, " ".join(f"tok{i}" for i in range(500))),
+        (7, " ".join("same same different" for _ in range(300))),  # 900 tokens: uint8 segment-sum would wrap
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    for impl in ("xxhash64", "md5"):
+        got = df.select(
+            "id",
+            sh.simhash(F.col("text"), hash_impl=impl, use_udf=True).alias("u"),
+            sh.simhash(F.col("text"), hash_impl=impl, use_udf=False).alias("e"),
+        ).collect()
+        for r in got:
+            assert r.u == r.e, (impl, r.id, r.u, r.e)
