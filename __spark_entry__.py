@@ -639,7 +639,7 @@ def q29_jw_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked = _docs(spark, sf_dir).select(
         F.concat(F.lit("s:"), F.col("source")).alias("block_key"),
         F.col("doc_id").alias("rec_id"),
-        F.substring("text", 1, 40).alias("s"),
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40).alias("s"),
     )
     pairs = candidate_pairs(blocked, skew_threshold=100_000, target_block=100_000)
     sample = pairs.where(
@@ -824,7 +824,7 @@ def _fitted_oracles() -> dict[str, str]:
     from fastlink_spark.functions.jw import jaro_winkler_np
 
     jrows = con.execute(
-        f"SELECT a.doc_id, b.doc_id, substr(a.text, 1, 40), substr(b.text, 1, 40) "
+        f"SELECT a.doc_id, b.doc_id, substr(coalesce(a.text, ''), 1, 40), substr(coalesce(b.text, ''), 1, 40) "
         f"FROM read_parquet('{sf}/documents.parquet') a "
         f"JOIN read_parquet('{sf}/documents.parquet') b "
         f"  ON a.source = b.source AND a.doc_id < b.doc_id "

@@ -119,7 +119,12 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     elif width == 4:
         x = np.frombuffer(raw, dtype=np.int32).astype(np.float32) / 2147483648.0
     else:
-        raise NotImplementedError(f"sample width {width}")
+        # ValueError (not NotImplementedError): a WAV variant this
+        # decoder doesn't cover (e.g. 24-bit PCM) is per-row bad data —
+        # extract_features maps it to an ok=False row instead of
+        # failing the task. NotImplementedError is reserved for whole
+        # FORMATS that are stubbed (jpeg/png/mp3), same policy as BMP.
+        raise ValueError(f"unsupported PCM sample width {width}")
     if nch > 1:
         x = x.reshape(-1, nch).mean(axis=1)
     return x, rate

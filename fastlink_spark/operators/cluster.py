@@ -59,17 +59,13 @@ def _small_star(e: DataFrame) -> DataFrame:
     return out.where(F.col("u") != F.col("v")).distinct()
 
 
-def _fingerprint(e: DataFrame) -> tuple[int, int, int]:
-    # bit_xor + sum: both order-insensitive; the sum term keeps the
-    # checksum sensitive to even-multiplicity row swaps that XOR alone
-    # self-cancels (edges here are distinct, so this is belt-and-braces).
-    h = F.xxhash64("u", "v")
-    row = e.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.bit_xor(h), F.lit(0)).alias("h"),
-        F.coalesce(F.sum(h.cast("decimal(38,0)")), F.lit(0)).alias("s"),
-    ).collect()[0]
-    return int(row["n"]), int(row["h"]), int(row["s"])
+def _fingerprint(e: DataFrame) -> str:
+    # one order-insensitive (count, xor, sum) checksum — shared with the
+    # stage-manifest fingerprint so the two recipes cannot drift (the
+    # edge df holds exactly the (u, v) columns the checksum hashes).
+    from ..plans.checkpoint import content_fingerprint
+
+    return content_fingerprint(e)[1]
 
 
 def connected_components(

@@ -33,6 +33,8 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.materialize import Materializer, resolve
+
 LETTERS = "abcdefghijklmnopqrstuvwxyz"
 N_DIMS = len(LETTERS) + 1  # 26 letter counts + total length
 MAX_ASSIGN_TERMS = 20_000  # k * N_DIMS codegen-expression guard
@@ -140,10 +142,15 @@ def cluster_match(
     n_iter: int = 8,
     init: str = "xxhash64",
     key_prefix: str = "km:",
+    materializer: Materializer | None = None,
 ) -> DataFrame:
     """Single-table clusterMatch: adds ``cluster`` and ``block_key``
-    columns; feed the result to ``blockData``-style pairing."""
-    feats = letter_features(df, col)
+    columns; feed the result to ``blockData``-style pairing. The
+    feature stream is materialized ONCE before the fit: the seed
+    collect, every Lloyd aggregation, and the final assignment all
+    re-read the cut instead of re-running the 26 regexp_replace
+    expressions over the table per job (n_iter+2 jobs)."""
+    feats = resolve(materializer)(letter_features(df, col), "km_features")
     cents = fit_kmeans(feats, k, id_col=id_col, n_iter=n_iter, init=init)
     return (
         assign_clusters(feats, cents)
@@ -162,6 +169,7 @@ def cluster_match_two(
     n_iter: int = 8,
     init: str = "xxhash64",
     key_prefix: str = "km:",
+    materializer: Materializer | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Two-table clusterMatch (the reference's primary form): fit one
     k-means over A ∪ B with integer weights |B| resp. |A| (reduced by
@@ -177,8 +185,9 @@ def cluster_match_two(
         raise ValueError("cluster_match_two needs non-empty tables")
     g = math.gcd(na, nb)
     wa, wb = nb // g, na // g
-    fa = letter_features(df_a, col).withColumn("_w", F.lit(wa).cast("long"))
-    fb = letter_features(df_b, col).withColumn("_w", F.lit(wb).cast("long"))
+    mat = resolve(materializer)
+    fa = mat(letter_features(df_a, col).withColumn("_w", F.lit(wa).cast("long")), "km_features_a")
+    fb = mat(letter_features(df_b, col).withColumn("_w", F.lit(wb).cast("long")), "km_features_b")
     both = fa.select(id_col, "lf_vec", "_w").unionByName(fb.select(id_col, "lf_vec", "_w"))
     cents = fit_kmeans(both, k, id_col=id_col, weight_col="_w", n_iter=n_iter, init=init)
 

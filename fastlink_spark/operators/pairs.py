@@ -30,7 +30,15 @@ from pyspark.sql import functions as F
 
 DEFAULT_SKEW_THRESHOLD = 1_000  # block size above which we salt
 DEFAULT_TARGET_BLOCK = 500  # aim for ~target^2/2 comparisons per reduce cell
-MAX_SALTS = 128
+# Salt-count cap: the per-cell bound (~target^2 comparisons) holds only
+# for blocks up to MAX_SALTS * target rows (~2M at defaults). The cap
+# can be high because grid replication volume is n*(S+1) rows ~
+# pairs/target — proportional to the pair stream the join emits anyway,
+# never a blow-up. Blocks beyond the cap are a config smell (the
+# pipeline's mega-host band refinement splits them upstream); the
+# explode of a sequence(0..S) array (~16 KB transient at the cap) is
+# the only per-row cost.
+MAX_SALTS = 4_096
 
 
 def _salt_plan(profile: DataFrame, skew_threshold: int, target: int) -> DataFrame:

@@ -78,15 +78,29 @@ def name_reweight(
     )
     new_odds = odds * adj
     if renormalize_m:
-        matched = pairs_with_zeta.where(
-            (F.col(gcol) == agree_level) & (F.col("zeta") >= match_threshold)
+        # ONE aggregation job over the (possibly expensive, lazily
+        # built) pair lineage: the per-value counts come back to the
+        # driver (bounded by the field's distinct values — the same
+        # class of tiny table as the salt plans / pattern counts) and
+        # the total is their sum, so no separate matched.count() job
+        # re-evaluates the upstream plan. At agree_level both sides are
+        # non-null by construction (gamma is null-propagating), so the
+        # null filter drops nothing from the total.
+        mrows = (
+            pairs_with_zeta.where(
+                (F.col(gcol) == agree_level) & (F.col("zeta") >= match_threshold)
+            )
+            .where(F.col(f"a_{field}").isNotNull())
+            .groupBy(f"a_{field}")
+            .agg(F.count("*").alias("n_v"))
+            .collect()
         )
-        tot = matched.count()
+        tot = sum(r["n_v"] for r in mrows)
         if tot > 0:
-            mfreq = (
-                matched.where(F.col(f"a_{field}").isNotNull())
-                .groupBy(f"a_{field}")
-                .agg((F.count("*") / F.lit(tot)).alias("m_v"))
+            ftype = dict(pairs_with_zeta.dtypes)[f"a_{field}"]
+            mfreq = pairs_with_zeta.sparkSession.createDataFrame(
+                [(r[f"a_{field}"], r["n_v"] / tot) for r in mrows],
+                f"`a_{field}` {ftype}, m_v double",
             )
             agreeing = agreeing.join(F.broadcast(mfreq), f"a_{field}", "left")
             # swap m[agree] for m_v => further multiply odds by m_v/m_agree

@@ -154,7 +154,17 @@ class CheckpointManager:
 
         if self.root is None:
             return disk_only
-        return parquet_materializer(os.path.join(self.root, "_op_stages"))
+        scratch = os.path.join(self.root, "_op_stages")
+        # wipe prior-run orphans ONCE per manager (a shorter re-run
+        # would otherwise leave higher-suffix round dirs behind
+        # forever); never mid-run — a later wipe could delete scratch
+        # that an earlier materializer's live DataFrames still read.
+        if not getattr(self, "_op_scratch_wiped", False):
+            self._op_scratch_wiped = True
+            import shutil
+
+            shutil.rmtree(scratch, ignore_errors=True)
+        return parquet_materializer(scratch)
 
     def put_json(self, name: str, payload: str) -> None:
         if self.root is None:

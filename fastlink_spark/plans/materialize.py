@@ -41,10 +41,18 @@ def disk_only(df: DataFrame, name: str = "") -> DataFrame:
     return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
 
 
-def parquet_materializer(root: str) -> Materializer:
+def parquet_materializer(root: str, keep_per_name: int = 2) -> Materializer:
     """Production-shape cut: parquet write + read-back under ``root``.
     Repeated cuts with the same name get an incrementing suffix (an
-    operator may cut several rounds under one hint)."""
+    operator may cut several rounds under one hint).
+
+    Retention: only the newest ``keep_per_name`` cuts of each name are
+    kept on disk — when cut N is written, cut N-keep is deleted. An
+    iterative operator's round N-2 data fed round N-1's write and
+    nothing reads it afterwards, so without this a 15-round CC would
+    hold 15 full edge-set copies of dead scratch. Contract: a cut's
+    returned DataFrame must not be re-read after ``keep_per_name``
+    newer cuts of the SAME name (iterative operators never do)."""
     counts: dict[str, int] = {}
 
     def mat(df: DataFrame, name: str = "") -> DataFrame:
@@ -53,7 +61,13 @@ def parquet_materializer(root: str) -> Materializer:
         counts[base] = idx + 1
         path = os.path.join(root, f"{base}_{idx:03d}")
         df.write.mode("overwrite").parquet(path)
-        return df.sparkSession.read.parquet(path)
+        out = df.sparkSession.read.parquet(path)
+        old = idx - keep_per_name
+        if old >= 0:
+            import shutil
+
+            shutil.rmtree(os.path.join(root, f"{base}_{old:03d}"), ignore_errors=True)
+        return out
 
     return mat
 
