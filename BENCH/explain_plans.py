@@ -20,7 +20,15 @@ def explain_str(df) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")
-    return buf.getvalue()
+    # collapse monster expression lines (e.g. the k x 27 clusterMatch
+    # distance array) — the plan SHAPE is the evidence, not 30 KB of
+    # repeated element_at terms
+    out = []
+    for ln in buf.getvalue().splitlines():
+        if len(ln) > 1500:
+            ln = ln[:1500] + f" ... [line truncated, {len(ln)} chars]"
+        out.append(ln)
+    return "\n".join(out)
 
 
 def main() -> None:
@@ -107,6 +115,36 @@ def main() -> None:
             "BroadcastHashJoin of the tiny salt plan, one Exchange on "
             "(band key, salt); NO raw unsalted self-join node.",
             explain_str(minhash_lsh_pairs(docs, "doc_id", "text")),
+        )
+    )
+
+    # 6. clusterMatch k-means: assignment must be pure codegen over the
+    #    feature scan (no Python, no join); the Lloyd sufficient-stats
+    #    agg is partial (map-side) before one k-row Exchange
+    from fastlink_spark.operators.cluster_match import (
+        assign_clusters,
+        fit_kmeans,
+        letter_features,
+    )
+
+    feats = letter_features(
+        docs.withColumnRenamed("doc_id", "rec_id"), "text"
+    ).localCheckpoint(eager=True)
+    cents = fit_kmeans(feats, 3, n_iter=2)
+    sections.append(
+        (
+            "clusterMatch assignment + Lloyd sufficient-stats agg (cluster_match)",
+            "expect: assignment = WholeStageCodegen project over the materialized "
+            "feature scan (k x 27 double terms, no Python node, no join); the "
+            "Lloyd agg shows HashAggregate (partial) before a k-row Exchange "
+            "then HashAggregate (final) — shuffle volume O(k x partitions) longs.",
+            explain_str(assign_clusters(feats, cents))
+            + "\n"
+            + explain_str(
+                assign_clusters(feats, cents)
+                .groupBy("cluster")
+                .agg(F.sum(F.element_at(F.col("lf_vec"), 1)).alias("s0"), F.count("*").alias("n"))
+            ),
         )
     )
 
