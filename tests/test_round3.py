@@ -441,3 +441,37 @@ def test_simhash_udf_bit_identical_to_expression(spark):
         ).collect()
         for r in got:
             assert r.u == r.e, (impl, r.id, r.u, r.e)
+
+
+# ------------------------------------- materializer scratch retention
+
+def test_parquet_materializer_retention_and_orphan_wipe(spark, tmp_path):
+    """Iterative cuts must not accumulate: only the newest 2 dirs per
+    stage name survive, and a new CheckpointManager wipes prior-run
+    orphans from _op_stages (r3 review: a 15-round CC held 15 dead
+    edge-set copies)."""
+    import os
+
+    from fastlink_spark.plans.checkpoint import CheckpointManager
+    from fastlink_spark.plans.materialize import parquet_materializer
+
+    root = str(tmp_path / "scratch")
+    mat = parquet_materializer(root)
+    df = spark.range(10)
+    for _ in range(5):
+        df = mat(df, "round")
+    dirs = sorted(d for d in os.listdir(root) if d.startswith("round_"))
+    assert dirs == ["round_003", "round_004"]
+    assert df.count() == 10  # newest cut still readable
+
+    # orphan wipe: simulate a prior run's leftovers under a ckpt root
+    ck = str(tmp_path / "ckpt")
+    os.makedirs(os.path.join(ck, "_op_stages", "cc_round_012"))
+    man = CheckpointManager(spark, ck, "tok")
+    m1 = man.materializer()
+    assert not os.path.exists(os.path.join(ck, "_op_stages", "cc_round_012"))
+    out = m1(spark.range(3), "fresh")
+    assert out.count() == 3
+    # second materializer() in the SAME run must NOT wipe live scratch
+    man.materializer()
+    assert any(d.startswith("fresh_") for d in os.listdir(os.path.join(ck, "_op_stages")))
