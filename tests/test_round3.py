@@ -516,3 +516,31 @@ def test_ivf_refine_iters_improves_quantization_and_recall(spark):
     )
     assert refined >= base - 1e-9
     assert refined >= 0.9
+
+
+def test_candidate_pairs_two_grid_bounds_cells(spark):
+    """Two-table S x T grid: one hot block with BOTH sides large must
+    split into bounded cells — one-sided salting leaves (na/S)*nb per
+    cell, unbounded in nb. Exact pair count must be preserved."""
+    from fastlink_spark.operators.pairs import candidate_pairs_two
+
+    na, nb, target = 1200, 900, 200
+    a = spark.createDataFrame([("k", i) for i in range(na)], "block_key string, rec_id long")
+    b = spark.createDataFrame([("k", 10_000 + i) for i in range(nb)], "block_key string, rec_id long")
+    pairs = candidate_pairs_two(
+        a.repartition(6), b.repartition(5), skew_threshold=400, target_block=target,
+        dedupe_pairs=False,
+    )
+    assert pairs.count() == na * nb
+    s = -(-na // target)  # ceil: A-side salt count
+    t = -(-nb // target)
+    per_cell = (
+        pairs.withColumn("i", F.pmod(F.xxhash64("a_rec_id"), F.lit(s)))
+        .withColumn("j", F.pmod(F.xxhash64("b_rec_id"), F.lit(t)))
+        .groupBy("i", "j")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    # expected cell mass ~ (na/s)*(nb/t) = 200*180 = 36k; 3x hash slack
+    assert per_cell <= 3 * target * target
