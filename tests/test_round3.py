@@ -544,3 +544,16 @@ def test_candidate_pairs_two_grid_bounds_cells(spark):
     )
     # expected cell mass ~ (na/s)*(nb/t) = 200*180 = 36k; 3x hash slack
     assert per_cell <= 3 * target * target
+
+
+def test_cluster_match_k_exceeds_rows(spark):
+    """k larger than the table: the fit degrades gracefully to one
+    centroid per available seed row; every row still gets a block."""
+    from fastlink_spark.operators.cluster_match import cluster_match
+
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "cc")], "rec_id long, name string"
+    )
+    out = cluster_match(df, "name", k=8).collect()
+    assert len(out) == 3
+    assert all(r.cluster is not None and r.block_key.startswith("km:") for r in out)
