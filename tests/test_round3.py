@@ -557,3 +557,34 @@ def test_cluster_match_k_exceeds_rows(spark):
     out = cluster_match(df, "name", k=8).collect()
     assert len(out) == 3
     assert all(r.cluster is not None and r.block_key.startswith("km:") for r in out)
+
+
+def test_candidate_pairs_grid_equals_brute_force_randomized(spark):
+    """Randomized equivalence sweep: with aggressive salting forced
+    (threshold 2, target 2 — every block >2 rows goes through the full
+    grid incl. off-diagonal cells), the emitted pair set must equal the
+    per-block brute force EXACTLY, across random block-size mixes."""
+    import itertools
+    import random
+
+    from fastlink_spark.operators.pairs import candidate_pairs
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        rows, rid = [], 0
+        for bk in "abcdef":
+            for _ in range(rng.randint(0, 13)):
+                rows.append((bk, rid))
+                rid += 1
+        if not rows:
+            continue
+        expected = set()
+        for bk, grp in itertools.groupby(sorted(rows), key=lambda r: r[0]):
+            ids = [r[1] for r in grp]
+            expected |= {(a, b) for a in ids for b in ids if a < b}
+        blocked = spark.createDataFrame(rows, "block_key string, rec_id long").repartition(5)
+        got = {
+            (r.a_rec_id, r.b_rec_id)
+            for r in candidate_pairs(blocked, skew_threshold=2, target_block=2).collect()
+        }
+        assert got == expected, f"seed {seed}: {len(got)} vs {len(expected)}"
