@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..em import EMResult, apply_em
 from ..operators import gammas
+from ..operators.pairs import candidate_pairs_two
 from ..plans.materialize import disk_only
 from ..plans.pipeline import LinkageConfig, prepare_pages
 
@@ -117,16 +118,17 @@ class IncrementalLinker:
         else:
             index = new_blocked
 
-        a = new_blocked.select(
-            "block_key", *[F.col(c).alias(f"a_{c}") for c in attrs]
-        )
-        b = index.select(
-            F.col("block_key").alias("bk_b"), *[F.col(c).alias(f"b_{c}") for c in attrs]
-        )
-        pairs = (
-            a.join(b, (a["block_key"] == b["bk_b"]) & (F.col("a_rec_id") != F.col("b_rec_id")))
-            .drop("block_key", "bk_b")
-            .dropDuplicates(["a_rec_id", "b_rec_id"])
+        # new-batch bands x (corpus ∪ new) bands through the salted S x T
+        # grid (operators.pairs.candidate_pairs_two): a hot band in the
+        # persisted index — boilerplate-heavy corpora collide massively
+        # on one band value — would otherwise put batch_rows x
+        # corpus_rows of that band into ONE reduce task, the straggler
+        # class the batch path eliminated in r3. Same pair semantics as
+        # the raw equi-join it replaces: both orientations of new x new
+        # pairs survive (harmless duplicates the downstream min-label
+        # assignment tolerates), self-pairs filtered.
+        pairs = candidate_pairs_two(new_blocked, index, id_col="rec_id").where(
+            F.col("a_rec_id") != F.col("b_rec_id")
         )
         scored = gammas.with_gammas(pairs, fields)
         gcols = [f"gamma_{f.name}" for f in fields]
