@@ -192,7 +192,17 @@ def dedupe_matches(
         mutual = mat(mutual, "greedy_mutual")
         if mutual.isEmpty():
             break
-        accepted = mutual if accepted is None else accepted.unionByName(mutual)
+        # Roll the accumulated union through a retained cut every round:
+        # `accepted` only ever references the NEWEST 'greedy_accepted'
+        # cut, so a parquet materializer's retention (keep newest
+        # keep_per_name cuts per name) can never delete data still
+        # reachable from it. Unioning raw mutual cuts instead would
+        # keep round-0's 'greedy_mutual' parquet live while round-2's
+        # write deletes it (materialize.py retention contract).
+        accepted = mat(
+            mutual if accepted is None else accepted.unionByName(mutual),
+            "greedy_accepted",
+        )
         used = (
             mutual.select(F.col(id_a).alias("uid"))
             .union(mutual.select(F.col(id_b).alias("uid")))
@@ -207,4 +217,4 @@ def dedupe_matches(
 
     if accepted is None:
         return pairs.select(id_a, id_b, score).limit(0)
-    return mat(accepted, "greedy_accepted")
+    return accepted

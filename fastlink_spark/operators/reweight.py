@@ -57,8 +57,10 @@ def name_reweight(
     pairs whose (original) zeta >= match_threshold. Rare-but-matching
     values thus get a second boost beyond the u swap; values never seen
     among matches fall back to the global m[agree] (adjustment 1 on the
-    m side). The m_v table is one tiny distributed agg over the agreeing
-    matched pairs, broadcast back.
+    m side). The m_v table is computed and joined fully
+    distributed — no driver collect anywhere, so high-cardinality
+    fields (page titles at web scale) are safe; AQE picks broadcast vs
+    shuffle for the join-back by the table's actual size.
 
     Requires columns a_<field> and gamma_<field> on the pair rows.
     """
@@ -78,35 +80,43 @@ def name_reweight(
     )
     new_odds = odds * adj
     if renormalize_m:
-        # ONE aggregation job over the (possibly expensive, lazily
-        # built) pair lineage: the per-value counts come back to the
-        # driver (bounded by the field's distinct values — the same
-        # class of tiny table as the salt plans / pattern counts) and
-        # the total is their sum, so no separate matched.count() job
-        # re-evaluates the upstream plan. At agree_level both sides are
-        # non-null by construction (gamma is null-propagating), so the
-        # null filter drops nothing from the total.
-        mrows = (
+        # Fully distributed m_v table — NOTHING is collected to the
+        # driver (a driver materialization here would grow with the
+        # field's distinct agreeing matched values: fine for first
+        # names, unbounded for `title` on a web-scale corpus). One
+        # map-side-combining agg over the pair lineage produces the
+        # per-value counts; the total is a window-sum over the COUNT
+        # table (rows = distinct matched values, a few MB even at
+        # millions of values — the empty-frame window collapses that
+        # table, never the pair stream, to one task). The join back is
+        # left unhinted so AQE broadcast-converts it when the table is
+        # small (the common case) and shuffle-joins it when it isn't.
+        # Empty matched set => empty mfreq => left-join nulls =>
+        # coalesce(…, 1.0) no-op, so no driver-side tot>0 probe is
+        # needed. At agree_level both sides are non-null by
+        # construction (gamma is null-propagating), so the null filter
+        # drops nothing from the total.
+        from pyspark.sql import Window
+
+        counts = (
             pairs_with_zeta.where(
                 (F.col(gcol) == agree_level) & (F.col("zeta") >= match_threshold)
             )
             .where(F.col(f"a_{field}").isNotNull())
             .groupBy(f"a_{field}")
             .agg(F.count("*").alias("n_v"))
-            .collect()
         )
-        tot = sum(r["n_v"] for r in mrows)
-        if tot > 0:
-            ftype = dict(pairs_with_zeta.dtypes)[f"a_{field}"]
-            mfreq = pairs_with_zeta.sparkSession.createDataFrame(
-                [(r[f"a_{field}"], r["n_v"] / tot) for r in mrows],
-                f"`a_{field}` {ftype}, m_v double",
-            )
-            agreeing = agreeing.join(F.broadcast(mfreq), f"a_{field}", "left")
-            # swap m[agree] for m_v => further multiply odds by m_v/m_agree
-            new_odds = new_odds * F.coalesce(
-                F.col("m_v") / F.lit(m_agree), F.lit(1.0)
-            )
+        mfreq = counts.select(
+            f"a_{field}",
+            (
+                F.col("n_v") / F.sum("n_v").over(Window.partitionBy())
+            ).alias("m_v"),
+        )
+        agreeing = agreeing.join(mfreq, f"a_{field}", "left")
+        # swap m[agree] for m_v => further multiply odds by m_v/m_agree
+        new_odds = new_odds * F.coalesce(
+            F.col("m_v") / F.lit(m_agree), F.lit(1.0)
+        )
     reweighted = agreeing.withColumn(
         "zeta_reweighted", F.least(new_odds / (1 + new_odds), F.lit(1.0))
     ).drop("p_v", "m_v")

@@ -149,22 +149,31 @@ class CheckpointManager:
         ``<root>/_op_stages`` when a checkpoint root exists (the
         fault-tolerant production shape), DISK_ONLY localCheckpoint
         otherwise. These cuts are transient scratch — they carry no
-        resume token and are rewritten on every run."""
+        resume token and are rewritten on every run.
+
+        One instance is cached per manager: the parquet materializer's
+        per-name suffix counters must be SHARED across every operator
+        in a run — two fresh closures both cutting under the same hint
+        (e.g. two CC invocations cutting 'cc_round') would each start
+        at _000 and the second would overwrite parquet the first's
+        still-live DataFrames read."""
         from .materialize import disk_only, parquet_materializer
 
         if self.root is None:
             return disk_only
+        cached = getattr(self, "_op_mat", None)
+        if cached is not None:
+            return cached
         scratch = os.path.join(self.root, "_op_stages")
         # wipe prior-run orphans ONCE per manager (a shorter re-run
         # would otherwise leave higher-suffix round dirs behind
         # forever); never mid-run — a later wipe could delete scratch
         # that an earlier materializer's live DataFrames still read.
-        if not getattr(self, "_op_scratch_wiped", False):
-            self._op_scratch_wiped = True
-            import shutil
+        import shutil
 
-            shutil.rmtree(scratch, ignore_errors=True)
-        return parquet_materializer(scratch)
+        shutil.rmtree(scratch, ignore_errors=True)
+        self._op_mat = parquet_materializer(scratch)
+        return self._op_mat
 
     def put_json(self, name: str, payload: str) -> None:
         if self.root is None:
