@@ -654,6 +654,45 @@ def q29_jw_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q31_edit_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard oracle for the remaining string-metric kernels (SURVEY.md
+    F2 — r3's last pytest-only row): quantized similarities
+    floor(sim*1e6 + 0.5) over the q29 deterministic pair sample, on
+    32-char text prefixes. Two kernels per row:
+    - dl_q: the PRODUCTION Arrow-batched OSA/Damerau-Levenshtein
+      pandas UDF (functions/dl.py row-vectorized DP + unique-pair
+      factorization); oracle = frozen driver-side twin values injected
+      as literals (q29's pattern — DuckDB's damerau_levenshtein is
+      UNRESTRICTED DL, a different metric).
+    - lv_q: the levenshtein_sim path (JVM built-in F.levenshtein);
+      oracle = DuckDB's own independent levenshtein() recomputation —
+      a true cross-implementation check, not literal injection.
+    Any drift in batch splitting, factorization, null/empty handling,
+    or quantization breaks the value hash."""
+    from fastlink_spark.operators.gammas import dl_udf, levenshtein_sim
+    from fastlink_spark.operators.pairs import candidate_pairs
+
+    blocked = _docs(spark, sf_dir).select(
+        F.concat(F.lit("s:"), F.col("source")).alias("block_key"),
+        F.col("doc_id").alias("rec_id"),
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 32).alias("s"),
+    )
+    pairs = candidate_pairs(blocked, skew_threshold=100_000, target_block=100_000)
+    sample = pairs.where(
+        F.pmod(F.col("a_rec_id") * 31 + F.col("b_rec_id"), F.lit(20)) == 0
+    )
+    return sample.select(
+        F.col("a_rec_id").alias("id_a"),
+        F.col("b_rec_id").alias("id_b"),
+        F.floor(dl_udf(F.col("a_s"), F.col("b_s")) * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("dl_q"),
+        F.floor(levenshtein_sim(F.col("a_s"), F.col("b_s")) * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("lv_q"),
+    )
+
+
 def q30_cluster_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """clusterMatch k-means blocking (SURVEY.md A6, R/clusterMatch.R)
     with a HARD oracle: the operator's Lloyd updates use exact integer
@@ -703,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_match_summary": q28_match_summary,
         "q29_jw_scores": q29_jw_scores,
         "q30_cluster_match": q30_cluster_match,
+        "q31_edit_distances": q31_edit_distances,
     }
 
 
@@ -846,6 +886,46 @@ def _fitted_oracles() -> dict[str, str]:
             " JOIN documents b ON a.source = b.source AND a.doc_id < b.doc_id "
             " WHERE (a.doc_id * 31 + b.doc_id) % 20 = 0) "
             "SELECT p.id_a, p.id_b, CAST(lit.jw_q AS BIGINT) AS jw_q "
+            "FROM p JOIN lit ON p.id_a = lit.id_a AND p.id_b = lit.id_b"
+        )
+
+    # q31: DL/OSA kernel values frozen from the PRODUCTION Python
+    # kernel (osa_sim_series — the exact code the Arrow UDF runs) and
+    # injected as literals (DuckDB's damerau_levenshtein is the
+    # UNRESTRICTED variant — a genuinely different metric, e.g.
+    # 'ca'->'abc'); lv_q is recomputed by DuckDB's own levenshtein() —
+    # an independent implementation, stronger than injection.
+    import pandas as _pd
+
+    from fastlink_spark.functions.dl import osa_sim_series
+
+    erows = con.execute(
+        f"SELECT a.doc_id, b.doc_id, substr(coalesce(a.text, ''), 1, 32), substr(coalesce(b.text, ''), 1, 32) "
+        f"FROM read_parquet('{sf}/documents.parquet') a "
+        f"JOIN read_parquet('{sf}/documents.parquet') b "
+        f"  ON a.source = b.source AND a.doc_id < b.doc_id "
+        f"WHERE (a.doc_id * 31 + b.doc_id) % 20 = 0 ORDER BY 1, 2"
+    ).fetchall()
+    if erows:
+        dsims = osa_sim_series(
+            _pd.Series([r[2] for r in erows]), _pd.Series([r[3] for r in erows])
+        ).to_numpy()
+        dlq = np.floor(dsims * 1e6 + 0.5).astype(np.int64)
+        dvals = ", ".join(
+            f"({r[0]}, {r[1]}, {int(q)})" for r, q in zip(erows, dlq)
+        )
+        lv_expr = (
+            "CASE WHEN greatest(length(sa), length(sb)) = 0 THEN CAST(1.0 AS DOUBLE) "
+            "ELSE 1.0 - levenshtein(sa, sb) / CAST(greatest(length(sa), length(sb)) AS DOUBLE) END"
+        )
+        out["q31_edit_distances"] = (
+            f"WITH lit(id_a, id_b, dl_q) AS (VALUES {dvals}), "
+            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            " substr(coalesce(a.text, ''), 1, 32) AS sa, substr(coalesce(b.text, ''), 1, 32) AS sb "
+            " FROM documents a JOIN documents b ON a.source = b.source AND a.doc_id < b.doc_id "
+            " WHERE (a.doc_id * 31 + b.doc_id) % 20 = 0) "
+            "SELECT p.id_a, p.id_b, CAST(lit.dl_q AS BIGINT) AS dl_q, "
+            f" CAST(floor(({lv_expr}) * 1e6 + 0.5) AS BIGINT) AS lv_q "
             "FROM p JOIN lit ON p.id_a = lit.id_a AND p.id_b = lit.id_b"
         )
 
