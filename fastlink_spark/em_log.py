@@ -12,10 +12,11 @@ Implementation: classic EM over the complete-pattern grid.
     the observed pattern).
   - M-step: expected complete-data counts per grid cell (missing fields
     distributed proportionally to the current class joint), then the
-    class joint is re-fit as a 2-way log-linear model via IPF (iterative
-    proportional fitting over all pairwise margins) — the log-linear
-    structure that distinguishes emlinklog from the saturated /
-    independent alternatives.
+    class joint is re-fit as a hierarchical log-linear model via IPF
+    over the model's generating class — all pairwise margins by default,
+    or an arbitrary ``interactions`` list of field tuples (pairs,
+    triples, …, saturated), covering the reference's richer
+    ``cond.indep=FALSE`` structures.
 """
 
 from __future__ import annotations
@@ -28,33 +29,70 @@ import pandas as pd
 _EPS = 1e-12
 
 
-def _ipf_two_way(target: np.ndarray, shape: tuple[int, ...], iters: int = 25) -> np.ndarray:
-    """Fit a 2-way log-linear distribution to `target` (joint over the
-    grid, reshaped to `shape`) by IPF over all pairwise margins."""
+def _ipf(
+    target: np.ndarray,
+    shape: tuple[int, ...],
+    margins: list[tuple[int, ...]],
+    iters: int = 25,
+) -> np.ndarray:
+    """Fit a hierarchical log-linear distribution to ``target`` (joint
+    over the grid, reshaped to ``shape``) by iterative proportional
+    fitting over the given ``margins`` (tuples of axis indices — the
+    model's generating class). IPF converges to the unique maximum-
+    likelihood distribution in the log-linear family spanned by those
+    margins (Deming-Stephan); the saturated margin (all axes) converges
+    in one sweep to target itself, and singleton-only margins give the
+    independence fit."""
     t = target.reshape(shape)
     q = np.full(shape, 1.0 / t.size)
     K = len(shape)
     if K == 1:
         s = t.sum()
         return (t / s if s > 0 else np.full(shape, 1.0 / t.size)).reshape(-1)
-    pairs = list(itertools.combinations(range(K), 2))
     for _ in range(iters):
-        for (i, j) in pairs:
-            axes = tuple(a for a in range(K) if a not in (i, j))
+        for keep in margins:
+            axes = tuple(a for a in range(K) if a not in keep)
             tm = t.sum(axis=axes) if axes else t
             qm = q.sum(axis=axes) if axes else q
             ratio = np.where(qm > _EPS, tm / np.maximum(qm, _EPS), 0.0)
-            expand = [slice(None) if a in (i, j) else None for a in range(K)]
             # build broadcastable ratio
             r = ratio
             for a in range(K):
-                if a not in (i, j):
+                if a not in keep:
                     r = np.expand_dims(r, axis=a)
             q = q * r
             s = q.sum()
             if s > 0:
                 q = q / s
     return q.reshape(-1)
+
+
+def _resolve_margins(
+    gamma_cols: list[str], interactions: list[tuple[str, ...]] | None
+) -> list[tuple[int, ...]]:
+    """Field-name interaction sets -> axis-index margins for IPF.
+    None keeps emlinklog's default (ALL two-way pairs — the reference's
+    ``cond.indep=FALSE`` baseline); an explicit list may hold pairs,
+    triples, … up to the saturated set. Singleton margins are always
+    included so every main effect is fit even when a field appears in
+    no interaction."""
+    pos = {c: i for i, c in enumerate(gamma_cols)}
+    if interactions is None:
+        pairs = list(itertools.combinations(range(len(gamma_cols)), 2))
+    else:
+        pairs = []
+        for tup in interactions:
+            unknown = [c for c in tup if c not in pos]
+            if unknown:
+                raise ValueError(f"unknown interaction fields: {unknown}")
+            if len(tup) < 2:
+                raise ValueError(f"interaction needs >=2 fields: {tup!r}")
+            pairs.append(tuple(sorted(pos[c] for c in tup)))
+    singles = [(i,) for i in range(len(gamma_cols))]
+    # drop singletons subsumed by a higher-order margin (harmless but
+    # redundant IPF sweeps)
+    covered = {i for tup in pairs for i in tup}
+    return [s for s in singles if s[0] not in covered] + pairs
 
 
 def emlink_log(
@@ -65,9 +103,15 @@ def emlink_log(
     tol: float = 1e-5,
     iter_max: int = 200,
     ipf_iters: int = 20,
+    interactions: list[tuple[str, ...]] | None = None,
 ) -> pd.DataFrame:
     """Fit the interaction EM; returns the observed pattern table with
-    'zeta' plus attrs (lam, iterations, converged) in ``.attrs``."""
+    'zeta' plus attrs (lam, iterations, converged) in ``.attrs``.
+
+    ``interactions``: log-linear generating class as field-name tuples
+    (pairs, triples, …, up to the saturated set) — the reference's
+    richer ``cond.indep=FALSE`` structures. None = all two-way pairs
+    (the default model this module always had)."""
     patt = patterns.copy()
     for c in gamma_cols:
         patt[c] = patt[c].astype(object).where(pd.notna(patt[c]), None)
@@ -108,6 +152,7 @@ def emlink_log(
     pm_joint /= pm_joint.sum()
     pu_joint /= pu_joint.sum()
 
+    margins = _resolve_margins(gamma_cols, interactions)
     lam = p_m
     converged = False
     it = 0
@@ -129,8 +174,8 @@ def emlink_log(
             wcell_u = wcell_u / np.maximum(wcell_u.sum(axis=0), _EPS)
         tgt_m = wcell_m @ (n * zeta)
         tgt_u = wcell_u @ (n * (1 - zeta))
-        new_pm = _ipf_two_way(np.maximum(tgt_m, _EPS), shape, ipf_iters)
-        new_pu = _ipf_two_way(np.maximum(tgt_u, _EPS), shape, ipf_iters)
+        new_pm = _ipf(np.maximum(tgt_m, _EPS), shape, margins, ipf_iters)
+        new_pu = _ipf(np.maximum(tgt_u, _EPS), shape, margins, ipf_iters)
 
         delta = max(
             abs(new_lam - lam),

@@ -87,13 +87,12 @@ class CheckpointManager:
             # no on-disk checkpoint root: still materialize + cut lineage
             # (generator/HOF expressions must never be re-inlined into
             # downstream Generate/Join nodes — see minhash.py plan-size
-            # note; DISK_ONLY localCheckpoint is the in-process stand-in
-            # for the Iceberg/parquet stage write — the default
-            # deserialized level anti-scales in a many-thread block
-            # manager, see plans/materialize.py).
-            from .materialize import disk_only
+            # note). The scratch-aware default cuts to parquet scratch
+            # when a directory is discoverable, DISK_ONLY otherwise
+            # (plans/materialize.py).
+            from .materialize import resolve
 
-            df = disk_only(build(), name)
+            df = resolve(None)(build(), name)
             self.metrics[name] = {"rows": None, "resumed": False}
             return df
         data_path, manifest_path = self._paths(name)
@@ -157,10 +156,12 @@ class CheckpointManager:
         (e.g. two CC invocations cutting 'cc_round') would each start
         at _000 and the second would overwrite parquet the first's
         still-live DataFrames read."""
-        from .materialize import disk_only, parquet_materializer
+        from .materialize import parquet_materializer, resolve
 
         if self.root is None:
-            return disk_only
+            # scratch-aware default (parquet scratch when discoverable,
+            # DISK_ONLY otherwise) — already one-per-app, counters shared
+            return resolve(None)
         cached = getattr(self, "_op_mat", None)
         if cached is not None:
             return cached

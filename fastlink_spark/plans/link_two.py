@@ -19,7 +19,7 @@ from .. import em as em_mod
 from ..operators import gammas
 from ..operators.dedupe_matches import dedupe_matches
 from ..operators.pairs import candidate_pairs_two
-from .materialize import disk_only
+from .materialize import resolve as _resolve_mat
 
 
 @dataclass
@@ -56,7 +56,7 @@ def link_records(
         key = F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in block_cols])
         return df.select(key.alias("block_key"), *attrs)
 
-    pairs = disk_only(
+    pairs = _resolve_mat(None)(
         candidate_pairs_two(
             blocked(df_a), blocked(df_b), id_col=id_col, skew_threshold=skew_threshold
         ),

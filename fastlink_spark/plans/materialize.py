@@ -8,14 +8,19 @@ functions/minhash.py plan-size note). HOW that cut happens is a
 deployment decision, so every operator takes an optional
 ``materializer`` callback instead of hard-coding one:
 
-- ``disk_only`` (the default): ``localCheckpoint(eager=True,
-  storageLevel=DISK_ONLY)``. The DEFAULT deserialized
-  (MEMORY_AND_DISK) localCheckpoint measurably ANTI-SCALES in a
-  many-thread local block manager (132-145 s vs 45.5 s parquet for the
-  same 16.7M-row stage — BENCH/BASELINE.md forensics), and pins large
-  intermediates in executor memory; DISK_ONLY serialized blocks avoid
-  both. Still NOT fault-tolerant on a real cluster (executor loss loses
-  the block) — fine for test/bench scale.
+- scratch-aware default (no materializer passed): discovers a parquet
+  scratch root — ``spark.fastlink.scratchDir`` conf first (the knob for
+  real clusters; any Hadoop URI), else ``spark.local.dir``/tmp when the
+  master is local[*] — and cuts through ``parquet_materializer``.
+  Falls back to DISK_ONLY localCheckpoint only on a cluster master
+  with no conf set (no shared path is knowable there).
+- ``disk_only``: ``localCheckpoint(eager=True, storageLevel=
+  DISK_ONLY)``. The DEFAULT deserialized (MEMORY_AND_DISK)
+  localCheckpoint measurably ANTI-SCALES in a many-thread local block
+  manager (132-145 s vs 45.5 s parquet for the same 16.7M-row stage —
+  BENCH/BASELINE.md forensics), and pins large intermediates in
+  executor memory; DISK_ONLY serialized blocks avoid both. Still NOT
+  fault-tolerant on a real cluster (executor loss loses the block).
 - ``parquet_materializer(root)``: writes each cut to a parquet subdir
   and reads it back — the production shape (an Iceberg table write on a
   real cluster): fault-tolerant, splittable, off-heap. The pipeline's
@@ -37,14 +42,37 @@ Materializer = Callable[[DataFrame, str], DataFrame]
 
 
 def disk_only(df: DataFrame, name: str = "") -> DataFrame:
-    """Default lineage cut: serialized DISK_ONLY localCheckpoint."""
+    """Last-resort lineage cut: serialized DISK_ONLY localCheckpoint.
+    NOT fault-tolerant on a real cluster (executor loss loses the
+    block) — the scratch-aware default below prefers parquet whenever
+    it can discover a usable directory."""
     return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
 
 
+def _rm_path(spark, path: str) -> None:
+    """Best-effort scratch deletion: Hadoop FS for URI paths (s3://,
+    hdfs:// — shutil can't touch those), shutil locally."""
+    if "://" in path:
+        try:
+            jvm = spark._jvm
+            jsc = spark._jsc
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+            fs.delete(hpath, True)
+        except Exception:
+            pass
+    else:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def parquet_materializer(root: str, keep_per_name: int = 2) -> Materializer:
-    """Production-shape cut: parquet write + read-back under ``root``.
-    Repeated cuts with the same name get an incrementing suffix (an
-    operator may cut several rounds under one hint).
+    """Production-shape cut: parquet write + read-back under ``root``
+    (any Hadoop-compatible URI — a local dir here, an object-store
+    prefix / Iceberg scratch namespace on a cluster). Repeated cuts
+    with the same name get an incrementing suffix (an operator may cut
+    several rounds under one hint).
 
     Retention: only the newest ``keep_per_name`` cuts of each name are
     kept on disk — when cut N is written, cut N-keep is deleted. An
@@ -52,25 +80,94 @@ def parquet_materializer(root: str, keep_per_name: int = 2) -> Materializer:
     nothing reads it afterwards, so without this a 15-round CC would
     hold 15 full edge-set copies of dead scratch. Contract: a cut's
     returned DataFrame must not be re-read after ``keep_per_name``
-    newer cuts of the SAME name (iterative operators never do)."""
+    newer cuts of the SAME name (iterative operators roll their
+    accumulators through retained cuts — see dedupe_matches)."""
     counts: dict[str, int] = {}
+    join = (lambda *p: "/".join(p)) if "://" in root else os.path.join
 
     def mat(df: DataFrame, name: str = "") -> DataFrame:
         base = name or "stage"
         idx = counts.get(base, 0)
         counts[base] = idx + 1
-        path = os.path.join(root, f"{base}_{idx:03d}")
+        path = join(root, f"{base}_{idx:03d}")
         df.write.mode("overwrite").parquet(path)
         out = df.sparkSession.read.parquet(path)
         old = idx - keep_per_name
         if old >= 0:
-            import shutil
-
-            shutil.rmtree(os.path.join(root, f"{base}_{old:03d}"), ignore_errors=True)
+            _rm_path(df.sparkSession, join(root, f"{base}_{old:03d}"))
         return out
 
     return mat
 
 
+# one scratch-default materializer per Spark application: the parquet
+# suffix counters MUST be shared across every bare operator call in the
+# app (two operators cutting under one hint would otherwise overwrite
+# each other's live scratch — same hazard CheckpointManager.materializer
+# caches against)
+_app_defaults: dict[str, Materializer] = {}
+
+
+def _discover_default(df: DataFrame) -> Materializer:
+    """Scratch-aware default for operators called WITHOUT an explicit
+    materializer:
+
+    1. ``spark.fastlink.scratchDir`` conf (any Hadoop URI — THE knob to
+       set on a real cluster, where executor-local paths aren't shared)
+       -> parquet cuts under <dir>/fastlink_scratch_<appId>.
+    2. local[*] master: first entry of ``spark.local.dir`` (else the
+       system tmpdir) — driver FS == executor FS in local mode, so a
+       plain directory is a valid shared parquet target.
+    3. otherwise (cluster master, no conf): DISK_ONLY localCheckpoint —
+       the only cut that needs no shared storage; non-fault-tolerant,
+       documented here rather than silently writing to paths executors
+       can't all see.
+    """
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    app = sc.applicationId
+    cached = _app_defaults.get(app)
+    if cached is not None:
+        return cached
+    try:
+        root = spark.conf.get("spark.fastlink.scratchDir")
+    except Exception:
+        root = None
+    if root:
+        scratch = root.rstrip("/") + f"/fastlink_scratch_{app}"
+        mat = parquet_materializer(scratch)
+    elif sc.master.startswith("local"):
+        try:
+            base = spark.conf.get("spark.local.dir")
+        except Exception:
+            base = None
+        if not base:
+            import tempfile
+
+            base = tempfile.gettempdir()
+        scratch = os.path.join(base.split(",")[0], f"fastlink_scratch_{app}")
+        try:
+            os.makedirs(scratch, exist_ok=True)
+            ok = os.access(scratch, os.W_OK)
+        except OSError:
+            ok = False
+        if ok:
+            import atexit
+            import shutil
+
+            atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+            mat = parquet_materializer(scratch)
+        else:
+            mat = disk_only
+    else:
+        mat = disk_only
+    _app_defaults[app] = mat
+    return mat
+
+
+def _scratch_default(df: DataFrame, name: str = "") -> DataFrame:
+    return _discover_default(df)(df, name)
+
+
 def resolve(materializer: Materializer | None) -> Materializer:
-    return materializer if materializer is not None else disk_only
+    return materializer if materializer is not None else _scratch_default

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from ..em import EMResult, apply_em
 from ..operators import gammas
 from ..operators.pairs import candidate_pairs_two
-from ..plans.materialize import disk_only
+from ..plans.materialize import resolve as _resolve_mat
 from ..plans.pipeline import LinkageConfig, prepare_pages
 
 
@@ -106,7 +106,7 @@ class IncrementalLinker:
         """Link one micro-batch; returns the new entities rows."""
         cfg = self.cfg
         fields = list(cfg.fields)
-        new_rec = disk_only(prepare_pages(new_pages, cfg), "new_rec")
+        new_rec = _resolve_mat(None)(prepare_pages(new_pages, cfg), "new_rec")
 
         old_rec = self._read_state("records")
         attrs = ["rec_id"] + [f.name for f in fields]
@@ -189,7 +189,7 @@ class IncrementalLinker:
             )
         else:
             new_ent = new_ids.withColumn("cluster_id", F.col("rec_id"))
-        new_ent = disk_only(
+        new_ent = _resolve_mat(None)(
             new_ent.join(new_rec.select("rec_id", "url"), "rec_id"), "new_ent"
         )
 
@@ -246,7 +246,7 @@ class IncrementalLinker:
                     [(k, v) for k, v in resolved.items() if k != v],
                     "cluster_id long, __to long",
                 )
-                new_ent = disk_only(
+                new_ent = _resolve_mat(None)(
                     new_ent.join(F.broadcast(mdf), "cluster_id", "left").select(
                         "rec_id",
                         F.coalesce("__to", "cluster_id").alias("cluster_id"),

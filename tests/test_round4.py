@@ -105,3 +105,160 @@ def test_checkpoint_manager_shares_one_materializer(spark, tmp_path):
 
     dirs = sorted(d for d in os.listdir(tmp_path / "_op_stages"))
     assert dirs == ["cut_000", "cut_001"]
+
+
+# ------------------------- scratch-aware default materializer
+
+def test_bare_operator_uses_parquet_scratch(spark):
+    """A bare connected_components() call (no materializer, no
+    checkpoint manager) must discover a parquet scratch root in local
+    mode and cut rounds there — not silently localCheckpoint."""
+    import os
+
+    from fastlink_spark.operators.cluster import connected_components
+    from fastlink_spark.plans import materialize
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "src long, dst long"
+    )
+    out = connected_components(edges).collect()
+    assert len({r["cluster_id"] for r in out}) == 1  # one chain
+    app = spark.sparkContext.applicationId
+    mat = materialize._app_defaults.get(app)
+    assert mat is not None and mat is not materialize.disk_only
+    import tempfile
+
+    scratch = os.path.join(tempfile.gettempdir(), f"fastlink_scratch_{app}")
+    assert os.path.isdir(scratch)
+    assert any(d.endswith("_000") or d.endswith("_001") for d in os.listdir(scratch))
+
+
+def test_scratch_conf_key_overrides(spark, tmp_path):
+    """spark.fastlink.scratchDir takes precedence over tmp discovery;
+    counters are shared app-wide through one cached closure."""
+    from fastlink_spark.plans import materialize
+
+    app = spark.sparkContext.applicationId
+    old = materialize._app_defaults.pop(app, None)
+    spark.conf.set("spark.fastlink.scratchDir", str(tmp_path))
+    try:
+        df = spark.range(5)
+        materialize.resolve(None)(df, "confcut")
+        import os
+
+        sub = os.path.join(str(tmp_path), f"fastlink_scratch_{app}")
+        assert os.path.isdir(sub) and "confcut_000" in os.listdir(sub)
+    finally:
+        spark.conf.unset("spark.fastlink.scratchDir")
+        materialize._app_defaults.pop(app, None)
+        if old is not None:
+            materialize._app_defaults[app] = old
+
+
+# ----------------------- emlinklog arbitrary interaction sets
+
+def test_ipf_saturated_and_independence_closed_forms():
+    """IPF must hit the two closed-form poles of the log-linear family:
+    the saturated margin reproduces the target exactly; singleton-only
+    margins (interactions=[]) give the outer product of marginals."""
+    import numpy as np
+
+    from fastlink_spark.em_log import _ipf
+
+    rng = np.random.default_rng(7)
+    shape = (2, 3, 2)
+    t = rng.random(np.prod(shape)) + 0.05
+    t = t / t.sum()
+    sat = _ipf(t, shape, [(0, 1, 2)], iters=5)
+    assert np.allclose(sat, t, atol=1e-12)
+    ind = _ipf(t, shape, [(0,), (1,), (2,)], iters=50).reshape(shape)
+    tj = t.reshape(shape)
+    outer = (
+        tj.sum(axis=(1, 2))[:, None, None]
+        * tj.sum(axis=(0, 2))[None, :, None]
+        * tj.sum(axis=(0, 1))[None, None, :]
+    )
+    assert np.allclose(ind, outer, atol=1e-10)
+
+
+def test_emlinklog_three_way_interaction_matches_brute_force():
+    """A saturated 3-way interaction must (a) change zeta vs the 2-way
+    default on data with genuine 3-way structure, and (b) match a
+    brute-force EM twin whose M-step fits the class joints DIRECTLY as
+    normalized expected counts (the closed-form MLE of the saturated
+    family)."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    from fastlink_spark.em_log import emlink_log
+
+    # XOR-flavored m-class: mass concentrated where a^b^c == 1 — pure
+    # 3-way dependence (all pairwise margins near-uniform); u-class
+    # concentrated at (0,0,0)
+    rows, cnts = [], []
+    for a, b, c in itertools.product((0, 1), repeat=3):
+        rows.append((a, b, c))
+        m_mass = 300 if (a ^ b ^ c) == 1 else 10
+        u_mass = 2000 if (a, b, c) == (0, 0, 0) else 40
+        cnts.append(m_mass + u_mass)
+    patt = pd.DataFrame(rows, columns=["gamma_x", "gamma_y", "gamma_z"])
+    patt["cnt"] = cnts
+    cols = ["gamma_x", "gamma_y", "gamma_z"]
+
+    two = emlink_log(patt, cols)
+    three = emlink_log(patt, cols, interactions=[("gamma_x", "gamma_y", "gamma_z")])
+    assert np.max(np.abs(two["zeta"].to_numpy() - three["zeta"].to_numpy())) > 1e-3
+
+    # brute-force saturated EM twin: complete patterns => masks are
+    # one-hot, M-step = normalized expected counts per cell
+    n = patt["cnt"].to_numpy(dtype=float)
+    N = n.sum()
+    G = 8
+    pm = np.ones(G)
+    pu = np.ones(G)
+    # identical init to emlink_log (independent 0.85/0.15 and uniform)
+    grid = np.array(list(itertools.product((0, 1), repeat=3)))
+    for k in range(3):
+        m1 = np.array([0.15, 0.85])
+        u1 = np.array([0.5, 0.5])
+        pm = pm * m1[grid[:, k]]
+        pu = pu * u1[grid[:, k]]
+    pm, pu = pm / pm.sum(), pu / pu.sum()
+    lam = 0.1
+    for _ in range(200):
+        wm, wu = lam * pm, (1 - lam) * pu
+        zeta = wm / np.maximum(wm + wu, 1e-12)
+        new_lam = float((n * zeta).sum() / N)
+        tm = np.maximum(n * zeta, 1e-12)
+        tu = np.maximum(n * (1 - zeta), 1e-12)
+        new_pm, new_pu = tm / tm.sum(), tu / tu.sum()
+        d = max(
+            abs(new_lam - lam),
+            np.max(np.abs(new_pm - pm)),
+            np.max(np.abs(new_pu - pu)),
+        )
+        lam, pm, pu = new_lam, new_pm, new_pu
+        if d < 1e-5:
+            break
+    zeta_bf = (lam * pm) / np.maximum(lam * pm + (1 - lam) * pu, 1e-12)
+    assert np.allclose(three["zeta"].to_numpy(), zeta_bf, atol=1e-6)
+
+
+def test_emlinklog_interaction_validation():
+    import itertools
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from fastlink_spark.em_log import emlink_log
+
+    patt = pd.DataFrame(
+        [(a, b, 10) for a, b in itertools.product((0, 1), repeat=2)],
+        columns=["gamma_x", "gamma_y", "cnt"],
+    )
+    with _pytest.raises(ValueError, match="unknown interaction"):
+        emlink_log(patt, ["gamma_x", "gamma_y"], interactions=[("gamma_x", "nope")])
+    with _pytest.raises(ValueError, match=">=2"):
+        emlink_log(patt, ["gamma_x", "gamma_y"], interactions=[("gamma_x",)])
