@@ -160,6 +160,10 @@ def main() -> None:
         "q15_minhash_candidates",
         "q20_connected_components",
         "q25_corpus_dedup",
+        # r3-added operators, benched since r4 so regressions in them
+        # are caught by the same per-round diff that caught simhash
+        "q27_name_reweight",
+        "q30_cluster_match",
     ]
     qmap = entry_mod.queries()
     for name in battery:

@@ -95,22 +95,52 @@ def fit_kmeans(
     Init: the k rows with the smallest hash(id) (ties by id) — a
     deterministic pseudo-random sample. ``init='md5'`` selects a hash
     that plain Python/DuckDB can recompute (the q30 oracle twin);
-    ``'xxhash64'`` is the cheaper production default. Weighted mode
+    ``'xxhash64'`` is the cheaper production default;
+    ``'kmeanspp'`` is a deterministic k-means++-style seeding
+    (farthest-first traversal: seed 1 by hash, each next seed = the
+    point MAXIMIZING distance to its nearest chosen centroid, ties by
+    id — the derandomized D²-sampling analogue, 2-approx for k-center).
+    Each k-means++ round is one distributed top-1 job
+    (TakeOrderedAndProject over the codegen distance array — no full
+    sort, no driver data); stops early if fewer than k distinct
+    feature points exist. Weighted mode
     (``weight_col``, integer weights) implements the reference's
     balanced two-table fit. Empty clusters keep their previous
     centroid. Converges early when an update is an exact fixpoint.
     """
     id_str = F.col(id_col).cast("string")
     h = F.md5(id_str) if init == "md5" else F.xxhash64(id_str)
-    seed_rows = (
-        feats.select(F.col(vec_col), h.alias("_h"), F.col(id_col).alias("_i"))
-        .orderBy("_h", "_i")
-        .limit(k)
-        .collect()
-    )
-    if not seed_rows:
-        raise ValueError("empty input for k-means blocking")
-    cents = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    if init == "kmeanspp":
+        first = (
+            feats.select(F.col(vec_col), F.xxhash64(id_str).alias("_h"), F.col(id_col).alias("_i"))
+            .orderBy("_h", "_i")
+            .limit(1)
+            .collect()
+        )
+        if not first:
+            raise ValueError("empty input for k-means blocking")
+        cents = [[float(x) for x in first[0][vec_col]]]
+        while len(cents) < k:
+            arr = F.array(*[_dist(vec_col, c) for c in cents])
+            nxt = (
+                feats.select(F.col(vec_col), F.array_min(arr).alias("_d"), F.col(id_col).alias("_i"))
+                .orderBy(F.desc("_d"), F.asc("_i"))
+                .limit(1)
+                .collect()
+            )[0]
+            if nxt["_d"] <= 0.0:
+                break  # < k distinct points; every row already has a 0-distance centroid
+            cents.append([float(x) for x in nxt[vec_col]])
+    else:
+        seed_rows = (
+            feats.select(F.col(vec_col), h.alias("_h"), F.col(id_col).alias("_i"))
+            .orderBy("_h", "_i")
+            .limit(k)
+            .collect()
+        )
+        if not seed_rows:
+            raise ValueError("empty input for k-means blocking")
+        cents = [[float(x) for x in r[vec_col]] for r in seed_rows]
 
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     sum_cols = [
@@ -180,14 +210,20 @@ def cluster_match_two(
     unaffected)."""
     import math
 
-    na, nb = df_a.count(), df_b.count()
+    # Counts come from the MATERIALIZED feature cuts, not separate
+    # pre-scan jobs: letter_features has to scan each table anyway, and
+    # a count over the parquet cut is answered from row-group metadata —
+    # the two full input re-scans the r3 shape paid are gone.
+    mat = resolve(materializer)
+    fa0 = mat(letter_features(df_a, col), "km_features_a")
+    fb0 = mat(letter_features(df_b, col), "km_features_b")
+    na, nb = fa0.count(), fb0.count()
     if na == 0 or nb == 0:
         raise ValueError("cluster_match_two needs non-empty tables")
     g = math.gcd(na, nb)
     wa, wb = nb // g, na // g
-    mat = resolve(materializer)
-    fa = mat(letter_features(df_a, col).withColumn("_w", F.lit(wa).cast("long")), "km_features_a")
-    fb = mat(letter_features(df_b, col).withColumn("_w", F.lit(wb).cast("long")), "km_features_b")
+    fa = fa0.withColumn("_w", F.lit(wa).cast("long"))
+    fb = fb0.withColumn("_w", F.lit(wb).cast("long"))
     both = fa.select(id_col, "lf_vec", "_w").unionByName(fb.select(id_col, "lf_vec", "_w"))
     cents = fit_kmeans(both, k, id_col=id_col, weight_col="_w", n_iter=n_iter, init=init)
 

@@ -21,10 +21,11 @@ each micro-batch of arriving pages. Per batch:
      state dir; ``entities()`` applies the (broadcast) relabel map at
      read, so merged clusters read as one entity.
 
-The relabel map grows with the merge count; a periodic re-run of batch
-CC compacts it to empty (documented tradeoff, same as any streaming
-CC). On Iceberg the relabel would be a MERGE INTO over the affected
-partition subset instead of a read-time map.
+The relabel map grows with the merge count; ``compact()`` (first-class
+since r4) re-links the persisted state through the batch operators and
+empties it — schedule per N batches / map-size threshold, same
+tradeoff as any streaming CC. On Iceberg the relabel would be a MERGE
+INTO over the affected partition subset instead of a read-time map.
 """
 
 from __future__ import annotations
@@ -258,6 +259,79 @@ class IncrementalLinker:
         new_rec.write.mode("append").parquet(self._path("records"))
         new_ent.write.mode("append").parquet(self._path("entities"))
         return new_ent
+
+    def compact(self) -> DataFrame | None:
+        """Periodic state compaction — the module-docstring tradeoff
+        ("a periodic re-run of batch CC compacts the relabel map")
+        made a first-class op. Re-links the ENTIRE persisted record
+        state through the batch operators with the FROZEN EM (salted
+        grid self-join -> gamma scoring -> frozen-zeta threshold ->
+        large-star/small-star CC), rewrites the entities state to the
+        CC labels, and empties the relabel map. After compact(),
+        ``entities()`` serves exactly the clusters a from-scratch batch
+        run over the same pages with the same frozen parameters
+        produces, and read-time relabel cost is zero until the next
+        merge event. Cost = one batch link over the corpus — schedule
+        it off-peak; every stage is the same scale-audited plan the
+        batch pipeline runs (no new shuffle shapes)."""
+        import pandas as pd
+
+        from ..operators.cluster import connected_components
+        from ..plans.pipeline import _blocked_records
+
+        records = self._read_state("records")
+        if records is None:
+            return None
+        cfg = self.cfg
+        fields = list(cfg.fields)
+        gcols = [f"gamma_{f.name}" for f in fields]
+        mat = _resolve_mat(None)
+        records = mat(records.dropDuplicates(["rec_id"]), "compact_records")
+
+        blocked = _blocked_records(records, cfg)
+        from ..operators.pairs import candidate_pairs
+
+        pairs = candidate_pairs(
+            blocked, skew_threshold=cfg.skew_threshold, target_block=cfg.target_block
+        )
+        scored = gammas.with_gammas(pairs, fields)
+        patt = gammas.pattern_counts(scored, fields).toPandas()
+        if len(patt):
+            z = apply_em(patt, self.em)
+            zrows = [
+                tuple(None if pd.isna(r[c]) else int(r[c]) for c in gcols)
+                + (float(r["zeta"]),)
+                for _, r in z.iterrows()
+            ]
+            zdf = self.spark.createDataFrame(
+                zrows, ", ".join(f"{c} int" for c in gcols) + ", zeta double"
+            )
+            cond = None
+            for c in gcols:
+                eq = scored[c].eqNullSafe(zdf[c])
+                cond = eq if cond is None else (cond & eq)
+            edges = (
+                scored.join(F.broadcast(zdf), cond, "inner")
+                .where(F.col("zeta") >= cfg.threshold)
+                .select("a_rec_id", "b_rec_id")
+            )
+        else:
+            edges = records.select(
+                F.col("rec_id").alias("a_rec_id")
+            ).limit(0).withColumn("b_rec_id", F.col("a_rec_id"))
+
+        labels = connected_components(
+            edges, records.select(F.col("rec_id").alias("id")), materializer=mat
+        )
+        new_ent = mat(
+            labels.withColumnRenamed("id", "rec_id")
+            .join(records.select("rec_id", "url"), "rec_id")
+            .select("rec_id", "cluster_id", "url"),
+            "compact_entities",
+        )
+        new_ent.write.mode("overwrite").parquet(self._path("entities"))
+        self._write_relabels({})
+        return self.spark.read.parquet(self._path("entities"))
 
     # -- streaming wiring ---------------------------------------------------
     def stream_from_files(self, input_dir: str, checkpoint_dir: str, schema):

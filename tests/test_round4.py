@@ -262,3 +262,124 @@ def test_emlinklog_interaction_validation():
         emlink_log(patt, ["gamma_x", "gamma_y"], interactions=[("gamma_x", "nope")])
     with _pytest.raises(ValueError, match=">=2"):
         emlink_log(patt, ["gamma_x", "gamma_y"], interactions=[("gamma_x",)])
+
+
+# ------------------------- incremental-state compaction
+
+def _mk_pages4(spark, rows):
+    from datetime import datetime
+
+    data = [
+        (
+            url,
+            datetime(2026, 7, 1),
+            f"<html><head><title>{t}</title></head><body>{x}</body></html>".encode(),
+            x,
+            "en",
+        )
+        for url, t, x in rows
+    ]
+    return spark.createDataFrame(
+        data, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+
+def test_incremental_compact_empties_relabels_and_matches_batch(spark, tmp_path):
+    """After merge events inflate the relabel map, compact() must
+    (a) rewrite entities to the batch-CC labels, (b) leave relabels.json
+    EMPTY, and (c) produce the same cluster partition as a from-scratch
+    run over the union of all pages with the same frozen EM."""
+    import json
+
+    from fastlink_spark.plans.pipeline import LinkageConfig
+    from fastlink_spark.streaming.incremental import IncrementalLinker
+    from tests.test_round3 import _RECRAWL_TOKENS, _toy_em
+
+    t1 = " ".join(_RECRAWL_TOKENS)
+    t1p = " ".join(["CHANGED" if i == 20 else t for i, t in enumerate(_RECRAWL_TOKENS)])
+    t2 = " ".join(f"other{i}" for i in range(40))
+    pages = [
+        # batch 1: two pages that DON'T pair (no shared host, no shared band)
+        ("https://hostone.example.com/a", "bridge title x", t1),
+        ("https://hosttwo.example.com/b", "bridge title x", t2),
+        # batch 2: bridges both — bands with page A (perturbed t1),
+        # host block with page B, same title as both
+        ("https://hosttwo.example.com/c", "bridge title x", t1p),
+    ]
+    cfg = LinkageConfig(threshold=0.5)
+    linker = IncrementalLinker(spark, str(tmp_path / "st"), _toy_em(), cfg)
+    linker.process_batch(_mk_pages4(spark, pages[:2]))
+    ents0 = linker.entities().collect()
+    assert len({r["cluster_id"] for r in ents0}) == 2  # not yet merged
+    linker.process_batch(_mk_pages4(spark, pages[2:]))
+    assert linker._read_relabels(), "bridge batch must produce a merge event"
+    ents1 = {r["rec_id"]: r["cluster_id"] for r in linker.entities().collect()}
+    assert len(set(ents1.values())) == 1  # merged through the relabel map
+
+    compacted = linker.compact()
+    with open(tmp_path / "st" / "relabels.json") as f:
+        assert json.load(f) == {}
+    ents2 = {r["rec_id"]: r["cluster_id"] for r in linker.entities().collect()}
+    assert set(ents2) == set(ents1)
+    assert len(set(ents2.values())) == 1
+    # no read-time map is in play now: raw state == entities() view
+    raw = {r["rec_id"]: r["cluster_id"] for r in compacted.collect()}
+    assert raw == ents2
+
+    # from-scratch single-shot run with the same frozen EM over the
+    # union: identical partition (urls grouped identically)
+    ref = IncrementalLinker(spark, str(tmp_path / "ref"), _toy_em(), cfg)
+    ref.process_batch(_mk_pages4(spark, pages))
+    def parts(ent_rows):
+        by = {}
+        for r in ent_rows:
+            by.setdefault(r["cluster_id"], set()).add(r["url"])
+        return sorted(map(frozenset, by.values()), key=sorted)
+    assert parts(linker.entities().collect()) == parts(ref.entities().collect())
+
+
+# ------------------------- cluster_match k-means++ seeding
+
+def test_cluster_match_kmeanspp_deterministic_and_spread(spark):
+    """init='kmeanspp' (deterministic farthest-first): identical
+    centroids across runs, all-distinct seeds, and on a dataset with k
+    well-separated blobs the fit must put each blob in its own cluster
+    (hash-sample init can seed two in one blob; farthest-first cannot)."""
+    import itertools
+
+    from fastlink_spark.operators.cluster_match import (
+        assign_clusters,
+        fit_kmeans,
+        letter_features,
+    )
+
+    # 4 blobs: words dominated by one letter each, lengths spread
+    blobs = {"a": "aaaaaaaaaa", "e": "eeeeeeeeeeeeeeeeeeee", "x": "xxxxx", "z": "z" * 30}
+    rows = [
+        (bi * 100 + j, blobs[ch] + ("b" if j % 2 else ""))
+        for bi, ch in enumerate(blobs)
+        for j in range(10)
+    ]
+    df = spark.createDataFrame(rows, "rec_id long, txt string")
+    feats = letter_features(df, "txt")
+    c1 = fit_kmeans(feats, 4, n_iter=6, init="kmeanspp")
+    c2 = fit_kmeans(feats, 4, n_iter=6, init="kmeanspp")
+    assert c1 == c2  # bit-deterministic
+    assert len({tuple(c) for c in c1}) == 4  # distinct seeds survived
+    assigned = assign_clusters(feats, c1).select("rec_id", "cluster").collect()
+    by_blob = {}
+    for r in assigned:
+        by_blob.setdefault(r["rec_id"] // 100, set()).add(r["cluster"])
+    # each blob entirely in one cluster, all blobs separated
+    assert all(len(cl) == 1 for cl in by_blob.values())
+    assert len({next(iter(cl)) for cl in by_blob.values()}) == 4
+
+
+def test_cluster_match_kmeanspp_fewer_distinct_points(spark):
+    from fastlink_spark.operators.cluster_match import fit_kmeans, letter_features
+
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "aa"), (3, "aa")], "rec_id long, txt string"
+    )
+    cents = fit_kmeans(letter_features(df, "txt"), 3, init="kmeanspp")
+    assert len(cents) == 1  # early-stop, no duplicate phantom centroids
