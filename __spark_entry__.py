@@ -4,15 +4,17 @@
 sf0.001 documents rendered as Common-Crawl-style pages. ``queries()``
 exposes each implemented operator from SURVEY.md §2 (+ the mandated
 training-data ops) as a (spark, sf_dir) callable; ``oracle_sql()``
-gives the DuckDB-equivalent SQL for EVERY query (29/29): hash-based ops
+gives the DuckDB-equivalent SQL for EVERY query (31/31): hash-based ops
 use an md5-prefix twin hash DuckDB reproduces bit-exactly, LSH ops emit
 exact-verified (or pigeonhole-guaranteed) outputs, the EM oracles the
 pattern->zeta identity with the fit injected as literals, CC is checked
-against a recursive-CTE transitive closure, and the production JW
-kernel itself is oracle-checked via q29 (quantized scores vs frozen
-driver-side kernel literals — DuckDB's own jaro_winkler counts
-transpositions differently, verified in tests/test_jw.py, so the
-literal-injection pattern is the only hard twin possible)."""
+against a recursive-CTE transitive closure, and every production string
+kernel is oracle-checked: JW via q29 and OSA/DL via q31 (quantized
+scores vs frozen driver-side kernel literals — DuckDB's jaro_winkler /
+damerau_levenshtein are DIFFERENT metrics, verified in tests/test_jw.py
+resp. documented in q31, so literal injection is the only hard twin
+possible), plus Levenshtein via q31's independent DuckDB levenshtein()
+recomputation."""
 
 from __future__ import annotations
 
