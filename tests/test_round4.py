@@ -383,3 +383,27 @@ def test_cluster_match_kmeanspp_fewer_distinct_points(spark):
     )
     cents = fit_kmeans(letter_features(df, "txt"), 3, init="kmeanspp")
     assert len(cents) == 1  # early-stop, no duplicate phantom centroids
+
+
+def test_incremental_batches_continue_after_compact(spark, tmp_path):
+    """compact() must leave the state fully usable: a later batch that
+    near-dups a pre-compact page still joins its (compacted) cluster."""
+    from fastlink_spark.plans.pipeline import LinkageConfig
+    from fastlink_spark.streaming.incremental import IncrementalLinker
+    from tests.test_round3 import _RECRAWL_TOKENS, _toy_em
+
+    t1 = " ".join(_RECRAWL_TOKENS)
+    t1p = " ".join(["CHANGED" if i == 20 else t for i, t in enumerate(_RECRAWL_TOKENS)])
+    linker = IncrementalLinker(
+        spark, str(tmp_path / "st"), _toy_em(), LinkageConfig(threshold=0.5)
+    )
+    linker.process_batch(
+        _mk_pages4(spark, [("https://hostone.example.com/orig", "recrawl title x", t1)])
+    )
+    linker.compact()
+    linker.process_batch(
+        _mk_pages4(spark, [("https://hosttwo.example.com/copy", "recrawl title x", t1p)])
+    )
+    ents = linker.entities().collect()
+    assert len(ents) == 2
+    assert len({r["cluster_id"] for r in ents}) == 1
