@@ -916,19 +916,66 @@ def _fitted_oracles() -> dict[str, str]:
         dvals = ", ".join(
             f"({r[0]}, {r[1]}, {int(q)})" for r, q in zip(erows, dlq)
         )
-        lv_expr = (
-            "CASE WHEN greatest(length(sa), length(sb)) = 0 THEN CAST(1.0 AS DOUBLE) "
-            "ELSE 1.0 - levenshtein(sa, sb) / CAST(greatest(length(sa), length(sb)) AS DOUBLE) END"
-        )
+        # lv oracle: DuckDB's levenshtein() is an independent
+        # re-implementation — but it counts BYTES while Spark's
+        # F.levenshtein counts code points (duckdb:
+        # levenshtein('héllo','hello')=2, Spark=1). Use the stronger
+        # cross-implementation check only when every sampled prefix is
+        # pure ASCII (where the two metrics provably coincide); fall
+        # back to frozen code-point-twin literals otherwise so the
+        # oracle never mis-flags the production path on unicode data.
+        all_ascii = all(r[2].isascii() and r[3].isascii() for r in erows)
+        if all_ascii:
+            lv_expr = (
+                "CASE WHEN greatest(length(sa), length(sb)) = 0 THEN CAST(1.0 AS DOUBLE) "
+                "ELSE 1.0 - levenshtein(sa, sb) / CAST(greatest(length(sa), length(sb)) AS DOUBLE) END"
+            )
+            lv_select = f"CAST(floor(({lv_expr}) * 1e6 + 0.5) AS BIGINT) AS lv_q"
+            lv_lit = ""
+        else:
+            def _lev(a: str, b: str) -> int:
+                if a == b:
+                    return 0
+                if not a or not b:
+                    return max(len(a), len(b))
+                prev = list(range(len(b) + 1))
+                for i, ca in enumerate(a, 1):
+                    cur = [i] + [0] * len(b)
+                    for j, cb in enumerate(b, 1):
+                        cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                    prev = cur
+                return prev[-1]
+
+            lvq = [
+                1.0
+                if max(len(r[2]), len(r[3])) == 0
+                else 1.0 - _lev(r[2], r[3]) / max(len(r[2]), len(r[3]))
+                for r in erows
+            ]
+            lv_lit = ", " + ", ".join(
+                f"({r[0]}, {r[1]}, {int(np.floor(v * 1e6 + 0.5))})"
+                for r, v in zip(erows, lvq)
+            )
+            lv_select = "CAST(lv.lv_q AS BIGINT) AS lv_q"
         out["q31_edit_distances"] = (
             f"WITH lit(id_a, id_b, dl_q) AS (VALUES {dvals}), "
-            "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            + (
+                f"lvlit(id_a, id_b, lv_q) AS (VALUES {lv_lit[2:]}), "
+                if lv_lit
+                else ""
+            )
+            + "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
             " substr(coalesce(a.text, ''), 1, 32) AS sa, substr(coalesce(b.text, ''), 1, 32) AS sb "
             " FROM documents a JOIN documents b ON a.source = b.source AND a.doc_id < b.doc_id "
             " WHERE (a.doc_id * 31 + b.doc_id) % 20 = 0) "
             "SELECT p.id_a, p.id_b, CAST(lit.dl_q AS BIGINT) AS dl_q, "
-            f" CAST(floor(({lv_expr}) * 1e6 + 0.5) AS BIGINT) AS lv_q "
+            f" {lv_select} "
             "FROM p JOIN lit ON p.id_a = lit.id_a AND p.id_b = lit.id_b"
+            + (
+                " JOIN lvlit lv ON p.id_a = lv.id_a AND p.id_b = lv.id_b"
+                if lv_lit
+                else ""
+            )
         )
 
     # q30: frozen NumPy twin of the exact-integer k-means fit

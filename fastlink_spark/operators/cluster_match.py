@@ -108,6 +108,15 @@ def fit_kmeans(
     balanced two-table fit. Empty clusters keep their previous
     centroid. Converges early when an update is an exact fixpoint.
     """
+    if k * N_DIMS > MAX_ASSIGN_TERMS:
+        # same guard assign_clusters applies, but BEFORE any seeding
+        # work — kmeanspp otherwise runs k-1 full-scan top-1 jobs with
+        # ever-growing distance expressions only to fail at the first
+        # Lloyd assignment
+        raise ValueError(
+            f"k={k} too large for the codegen assignment path "
+            f"(k*{N_DIMS} > {MAX_ASSIGN_TERMS}); shrink k or pre-block"
+        )
     id_str = F.col(id_col).cast("string")
     h = F.md5(id_str) if init == "md5" else F.xxhash64(id_str)
     if init == "kmeanspp":

@@ -160,8 +160,12 @@ class CheckpointManager:
 
         if self.root is None:
             # scratch-aware default (parquet scratch when discoverable,
-            # DISK_ONLY otherwise) — already one-per-app, counters shared
-            return resolve(None)
+            # DISK_ONLY otherwise); cached so the whole run shares ONE
+            # invocation namespace + suffix counters
+            cached = getattr(self, "_op_mat", None)
+            if cached is None:
+                cached = self._op_mat = resolve(None)
+            return cached
         cached = getattr(self, "_op_mat", None)
         if cached is not None:
             return cached

@@ -100,42 +100,51 @@ def parquet_materializer(root: str, keep_per_name: int = 2) -> Materializer:
     return mat
 
 
-# one scratch-default materializer per Spark application: the parquet
-# suffix counters MUST be shared across every bare operator call in the
-# app (two operators cutting under one hint would otherwise overwrite
-# each other's live scratch — same hazard CheckpointManager.materializer
-# caches against)
-_app_defaults: dict[str, Materializer] = {}
+# per-app scratch state: (root-or-None, invocation counter). The root
+# is discovered once per application; every resolve(None) call — i.e.
+# every OPERATOR INVOCATION — gets its own inv_<n> subdirectory and
+# fresh suffix counters. Isolation in BOTH directions is load-bearing:
+# unique subdirs mean two invocations cutting the same hint can never
+# overwrite each other's live scratch, and retention (keep_per_name)
+# only ever deletes cuts WITHIN one invocation — a later bare
+# `dedupe_matches()` call can't delete the parquet backing the
+# DataFrame a caller still holds from an earlier call (cuts of the
+# SAME name never span invocations; the old shared-counter design
+# broke exactly that way at 3+ invocations).
+_app_scratch: dict[str, dict] = {}
 
 
-def _discover_default(df: DataFrame) -> Materializer:
-    """Scratch-aware default for operators called WITHOUT an explicit
+def _discover_root(df: DataFrame) -> str | None:
+    """Scratch root for operators called WITHOUT an explicit
     materializer:
 
     1. ``spark.fastlink.scratchDir`` conf (any Hadoop URI — THE knob to
        set on a real cluster, where executor-local paths aren't shared)
-       -> parquet cuts under <dir>/fastlink_scratch_<appId>.
+       -> parquet cuts under <dir>/fastlink_scratch_<appId>. NOTE:
+       nothing can clean a remote prefix after the JVM exits — point it
+       at a lifecycle-managed (TTL) prefix; local-tmp roots are removed
+       by an atexit hook instead.
     2. local[*] master: first entry of ``spark.local.dir`` (else the
        system tmpdir) — driver FS == executor FS in local mode, so a
        plain directory is a valid shared parquet target.
-    3. otherwise (cluster master, no conf): DISK_ONLY localCheckpoint —
-       the only cut that needs no shared storage; non-fault-tolerant,
-       documented here rather than silently writing to paths executors
-       can't all see.
+    3. otherwise (cluster master, no conf): None -> DISK_ONLY
+       localCheckpoint — the only cut that needs no shared storage;
+       non-fault-tolerant, documented here rather than silently writing
+       to paths executors can't all see.
     """
     spark = df.sparkSession
     sc = spark.sparkContext
     app = sc.applicationId
-    cached = _app_defaults.get(app)
-    if cached is not None:
-        return cached
+    state = _app_scratch.get(app)
+    if state is not None:
+        return state["root"]
     try:
         root = spark.conf.get("spark.fastlink.scratchDir")
     except Exception:
         root = None
+    scratch: str | None
     if root:
         scratch = root.rstrip("/") + f"/fastlink_scratch_{app}"
-        mat = parquet_materializer(scratch)
     elif sc.master.startswith("local"):
         try:
             base = spark.conf.get("spark.local.dir")
@@ -156,18 +165,38 @@ def _discover_default(df: DataFrame) -> Materializer:
             import shutil
 
             atexit.register(shutil.rmtree, scratch, ignore_errors=True)
-            mat = parquet_materializer(scratch)
         else:
-            mat = disk_only
+            scratch = None
     else:
-        mat = disk_only
-    _app_defaults[app] = mat
-    return mat
+        scratch = None
+    _app_scratch[app] = {"root": scratch, "n": 0}
+    return scratch
 
 
-def _scratch_default(df: DataFrame, name: str = "") -> DataFrame:
-    return _discover_default(df)(df, name)
+def _invocation_materializer(df: DataFrame) -> Materializer:
+    root = _discover_root(df)
+    if root is None:
+        return disk_only
+    state = _app_scratch[df.sparkSession.sparkContext.applicationId]
+    inv = state["n"]
+    state["n"] = inv + 1
+    join = (lambda *p: "/".join(p)) if "://" in root else os.path.join
+    return parquet_materializer(join(root, f"inv_{inv:04d}"))
 
 
 def resolve(materializer: Materializer | None) -> Materializer:
-    return materializer if materializer is not None else _scratch_default
+    """Explicit materializer passes through; None returns a fresh
+    scratch-default bound lazily (at first cut) to its own per-
+    invocation namespace."""
+    if materializer is not None:
+        return materializer
+    state: dict = {}
+
+    def scratch_default(df: DataFrame, name: str = "") -> DataFrame:
+        mat = state.get("mat")
+        if mat is None:
+            mat = _invocation_materializer(df)
+            state["mat"] = mat
+        return mat(df, name)
+
+    return scratch_default

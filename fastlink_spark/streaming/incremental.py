@@ -42,6 +42,21 @@ from ..plans.materialize import resolve as _resolve_mat
 from ..plans.pipeline import LinkageConfig, prepare_pages
 
 
+def _deterministic_cond(cfg: LinkageConfig):
+    """Pair predicate for cfg.deterministic_fields (exact, non-null
+    agreement on every listed field) — the same rule as the batch
+    pipeline's deterministic-match pass. None when the list is empty."""
+    cond = None
+    for f in cfg.deterministic_fields:
+        eq = (
+            F.col(f"a_{f}").isNotNull()
+            & F.col(f"b_{f}").isNotNull()
+            & (F.col(f"a_{f}") == F.col(f"b_{f}"))
+        )
+        cond = eq if cond is None else (cond & eq)
+    return cond
+
+
 class IncrementalLinker:
     def __init__(
         self,
@@ -157,6 +172,23 @@ class IncrementalLinker:
                 .where(F.col("zeta") >= cfg.threshold)
                 .select("a_rec_id", "b_rec_id", "zeta")
             )
+            det_cond = _deterministic_cond(cfg)
+            if det_cond is not None:
+                # the batch pipeline's deterministic-match pass
+                # (pipeline._build_matched): pairs exactly equal on all
+                # cfg.deterministic_fields are accepted regardless of
+                # zeta — the incremental path must match batch semantics
+                # or compact()/batch re-runs would merge pairs the
+                # stream left split. max(zeta) keeps the pair list
+                # duplicate-free and byte-stable like the batch stage.
+                det = scored.where(det_cond).select(
+                    "a_rec_id", "b_rec_id", F.lit(1.0).alias("zeta")
+                )
+                matched = (
+                    matched.unionByName(det)
+                    .groupBy("a_rec_id", "b_rec_id")
+                    .agg(F.max("zeta").alias("zeta"))
+                )
 
         old_ent = self.entities()
         if matched is not None and old_ent is not None:
@@ -265,9 +297,12 @@ class IncrementalLinker:
         ("a periodic re-run of batch CC compacts the relabel map")
         made a first-class op. Re-links the ENTIRE persisted record
         state through the batch operators with the FROZEN EM (salted
-        grid self-join -> gamma scoring -> frozen-zeta threshold ->
-        large-star/small-star CC), rewrites the entities state to the
-        CC labels, and empties the relabel map. After compact(),
+        grid self-join -> gamma scoring -> frozen-zeta threshold plus
+        the cfg.deterministic_fields exact-match pass, exactly like the
+        batch pipeline's matched stage -> large-star/small-star CC),
+        rewrites the entities state to the CC labels, and empties the
+        relabel map. Re-crawled urls contribute their LATEST crawl row
+        (warc_ts desc, deterministic tiebreak). After compact(),
         ``entities()`` serves exactly the clusters a from-scratch batch
         run over the same pages with the same frozen parameters
         produces, and read-time relabel cost is zero until the next
@@ -282,11 +317,28 @@ class IncrementalLinker:
         records = self._read_state("records")
         if records is None:
             return None
+        from pyspark.sql import Window
+
         cfg = self.cfg
         fields = list(cfg.fields)
         gcols = [f"gamma_{f.name}" for f in fields]
         mat = _resolve_mat(None)
-        records = mat(records.dropDuplicates(["rec_id"]), "compact_records")
+        # re-crawled urls appear once per batch in the append-only
+        # records state (same rec_id = xxhash64(url)); keep the LATEST
+        # crawl deterministically (warc_ts desc, content-hash tiebreak
+        # for equal timestamps) — a bare dropDuplicates picks a
+        # partition-order-dependent row, making compaction output
+        # nondeterministic and possibly linking on stale attributes.
+        wins = Window.partitionBy("rec_id").orderBy(
+            F.desc_nulls_last("warc_ts"),
+            F.asc(F.xxhash64(*[c for c in records.columns if c != "rec_id"])),
+        )
+        records = mat(
+            records.withColumn("_rn", F.row_number().over(wins))
+            .where(F.col("_rn") == 1)
+            .drop("_rn"),
+            "compact_records",
+        )
 
         blocked = _blocked_records(records, cfg)
         from ..operators.pairs import candidate_pairs
@@ -315,6 +367,15 @@ class IncrementalLinker:
                 .where(F.col("zeta") >= cfg.threshold)
                 .select("a_rec_id", "b_rec_id")
             )
+            det_cond = _deterministic_cond(cfg)
+            if det_cond is not None:
+                # mirror the batch pipeline's deterministic-match pass —
+                # without it compacted clusters would diverge from a
+                # from-scratch link_dedupe on pairs like (2,0,0) that
+                # agree exactly on url_norm but score under threshold
+                edges = edges.unionByName(
+                    scored.where(det_cond).select("a_rec_id", "b_rec_id")
+                ).distinct()
         else:
             edges = records.select(
                 F.col("rec_id").alias("a_rec_id")

@@ -124,35 +124,58 @@ def test_bare_operator_uses_parquet_scratch(spark):
     out = connected_components(edges).collect()
     assert len({r["cluster_id"] for r in out}) == 1  # one chain
     app = spark.sparkContext.applicationId
-    mat = materialize._app_defaults.get(app)
-    assert mat is not None and mat is not materialize.disk_only
+    state = materialize._app_scratch.get(app)
+    assert state is not None and state["root"] is not None
     import tempfile
 
     scratch = os.path.join(tempfile.gettempdir(), f"fastlink_scratch_{app}")
     assert os.path.isdir(scratch)
-    assert any(d.endswith("_000") or d.endswith("_001") for d in os.listdir(scratch))
+    cuts = [
+        d
+        for inv in os.listdir(scratch)
+        if inv.startswith("inv_")
+        for d in os.listdir(os.path.join(scratch, inv))
+    ]
+    assert any(d.endswith("_000") or d.endswith("_001") for d in cuts)
 
 
 def test_scratch_conf_key_overrides(spark, tmp_path):
     """spark.fastlink.scratchDir takes precedence over tmp discovery;
-    counters are shared app-wide through one cached closure."""
+    each resolve(None) invocation gets its own inv_<n> namespace."""
+    import os
+
     from fastlink_spark.plans import materialize
 
     app = spark.sparkContext.applicationId
-    old = materialize._app_defaults.pop(app, None)
+    old = materialize._app_scratch.pop(app, None)
     spark.conf.set("spark.fastlink.scratchDir", str(tmp_path))
     try:
         df = spark.range(5)
         materialize.resolve(None)(df, "confcut")
-        import os
-
         sub = os.path.join(str(tmp_path), f"fastlink_scratch_{app}")
-        assert os.path.isdir(sub) and "confcut_000" in os.listdir(sub)
+        assert os.path.isdir(sub)
+        invs = [d for d in os.listdir(sub) if d.startswith("inv_")]
+        assert invs and "confcut_000" in os.listdir(os.path.join(sub, invs[0]))
     finally:
         spark.conf.unset("spark.fastlink.scratchDir")
-        materialize._app_defaults.pop(app, None)
+        materialize._app_scratch.pop(app, None)
         if old is not None:
-            materialize._app_defaults[app] = old
+            materialize._app_scratch[app] = old
+
+
+def test_scratch_invocations_isolated_from_retention(spark):
+    """Three bare operator invocations cutting the SAME hint must not
+    delete each other's scratch: the first invocation's returned
+    DataFrame is still readable after two later invocations write two
+    newer cuts of that name (the keep_per_name=2 deletion horizon)."""
+    from fastlink_spark.plans import materialize
+
+    outs = []
+    for i in range(3):
+        mat = materialize.resolve(None)
+        outs.append(mat(spark.range(10 + i), "samehint"))
+    # all three still evaluable — retention only acts within one inv_
+    assert [df.count() for df in outs] == [10, 11, 12]
 
 
 # ----------------------- emlinklog arbitrary interaction sets
@@ -407,3 +430,74 @@ def test_incremental_batches_continue_after_compact(spark, tmp_path):
     ents = linker.entities().collect()
     assert len(ents) == 2
     assert len({r["cluster_id"] for r in ents}) == 1
+
+
+def test_ipf_matches_declared_margins_property():
+    """Log-linear MLE invariant: the IPF fit must reproduce the target's
+    margin for EVERY declared interaction (and every singleton), for
+    randomized targets and several generating classes."""
+    import itertools
+
+    import numpy as np
+
+    from fastlink_spark.em_log import _ipf
+
+    rng = np.random.default_rng(11)
+    shape = (2, 3, 2, 2)
+    K = len(shape)
+    classes = [
+        [(0, 1), (2, 3)],
+        [(0, 1, 2)],
+        [(0, 1), (1, 2), (2, 3), (0, 3)],
+    ]
+    for margins in classes:
+        full = [tuple(m) for m in margins] + [(i,) for i in range(K)]
+        for _ in range(3):
+            t = rng.random(int(np.prod(shape))) + 0.01
+            t = t / t.sum()
+            q = _ipf(t, shape, full, iters=200).reshape(shape)
+            tj = t.reshape(shape)
+            for m in full:
+                axes = tuple(a for a in range(K) if a not in m)
+                assert np.allclose(q.sum(axis=axes), tj.sum(axis=axes), atol=1e-6), m
+
+
+# ------------------- q31 lv oracle: unicode fallback path
+
+def test_q31_lv_oracle_unicode_fallback(spark, tmp_path, monkeypatch):
+    """DuckDB's levenshtein counts BYTES, Spark's counts code points —
+    on any non-ASCII sampled prefix the oracle must switch from DuckDB
+    recomputation to frozen code-point-twin literals, staying bit-equal
+    to the production Spark path."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 20, 40],
+            "source": ["s1", "s1", "s1"],
+            "text": ["café latte", "cafe latte", "unrelated text"],
+            "lang": ["en", "en", "en"],
+            "n_chars": [10, 10, 14],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", str(tmp_path))
+    oracles = entry_mod._fitted_oracles()
+    sql = oracles["q31_edit_distances"]
+    assert "lvlit" in sql  # literal-injection fallback, not duckdb levenshtein
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    orows = {
+        (r[0], r[1]): (r[2], r[3]) for r in con.sql(sql).fetchall()
+    }
+    srows = {
+        (r["id_a"], r["id_b"]): (r["dl_q"], r["lv_q"])
+        for r in entry_mod.q31_edit_distances(spark, str(tmp_path)).collect()
+    }
+    assert orows == srows and len(orows) >= 2  # (0,20) and (0,40), (20,40)?
+    # code-point semantics: 'café latte' vs 'cafe latte' = 1 edit of 10
+    assert srows[(0, 20)][1] == 900000
