@@ -501,3 +501,38 @@ def test_q31_lv_oracle_unicode_fallback(spark, tmp_path, monkeypatch):
     assert orows == srows and len(orows) >= 2  # (0,20) and (0,40), (20,40)?
     # code-point semantics: 'café latte' vs 'cafe latte' = 1 edit of 10
     assert srows[(0, 20)][1] == 900000
+
+
+def test_incremental_plus_compact_equals_batch_partition(spark, tmp_path):
+    """End-to-end equivalence on the labeled fixture: stream the corpus
+    through the incremental linker in 3 arbitrary batches with the
+    BATCH-fitted EM frozen, then compact() — the resulting entity
+    partition must be IDENTICAL to link_dedupe over the whole corpus
+    (same config, same EM). This pins the r4 semantic alignment
+    (deterministic-fields pass + batch-operator compaction): any
+    divergence between the streaming and batch match rules breaks it."""
+    from fastlink_spark.plans.pipeline import LinkageConfig, link_dedupe
+    from fastlink_spark.sources.fixtures import generate_pages
+    from fastlink_spark.streaming.incremental import IncrementalLinker
+
+    fx = generate_pages(n_base=120)
+    pages = spark.createDataFrame(fx.pages)
+    cfg = LinkageConfig()
+    batch = link_dedupe(spark, pages, cfg)
+
+    linker = IncrementalLinker(spark, str(tmp_path / "st"), batch.em, cfg)
+    n = pages.count()
+    # 3 deterministic slices by url hash
+    for part in range(3):
+        linker.process_batch(pages.where(F.pmod(F.xxhash64("url"), F.lit(3)) == part))
+    linker.compact()
+
+    def parts(rows):
+        by = {}
+        for r in rows:
+            by.setdefault(r["cluster_id"], set()).add(r["url"])
+        return sorted(map(frozenset, by.values()), key=sorted)
+
+    got = parts(linker.entities().collect())
+    want = parts(batch.entities.collect())
+    assert got == want
