@@ -62,16 +62,45 @@ def _bucket_pairs(
     )
 
 
-def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def exact_dup_groups(
+    df: DataFrame, id_col: str, text_col: str, *, max_ids: int | None = None
+) -> DataFrame:
     """Exact duplicates by full-text hash: (text_hash, n_dups, doc_ids).
-    One shuffle; at 100TB use the 128-bit variant (xxhash64 two seeds)."""
+    One shuffle; at 100TB use the 128-bit variant (xxhash64 two seeds).
+
+    ``max_ids``: cap on the per-group member list. The default (None,
+    exact full lists) materializes each group's ids in ONE row — fine
+    at test scale, but a boilerplate page repeated 10^7 times puts a
+    10^7-element array on a single task. At corpus scale pass a cap:
+    ``n_dups`` stays exact (separate count agg), the member list keeps
+    the first ``max_ids`` ids by sort order via a spill-friendly window
+    (no unbounded array ever built)."""
     h = df.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("text_hash")).where(
         F.col(text_col).isNotNull()
     )
+    if max_ids is None:
+        return (
+            h.groupBy("text_hash")
+            .agg(
+                F.count("*").alias("n_dups"),
+                F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            )
+            .where(F.col("n_dups") > 1)
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("text_hash").orderBy(id_col)
+    counts = h.groupBy("text_hash").agg(F.count("*").alias("n_dups"))
+    members = (
+        h.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_ids)
+        .groupBy("text_hash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+    )
     return (
-        h.groupBy("text_hash")
-        .agg(F.count("*").alias("n_dups"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
-        .where(F.col("n_dups") > 1)
+        counts.where(F.col("n_dups") > 1)
+        .join(members, "text_hash")
+        .select("text_hash", "n_dups", "doc_ids")
     )
 
 
@@ -278,11 +307,14 @@ def simhash_pairs_multi(
     parts = []
     for t in range(n_tables):
         width = per if t < n_tables - 1 else bits - per * (n_tables - 1)
+        # width == 64 (n_tables=1 at bits=64): (1<<64)-1 overflows a
+        # Java long literal; the all-ones mask is -1 in two's complement
+        mask = -1 if width >= 64 else (1 << width) - 1
         key = F.concat_ws(
             ":",
             F.lit(str(t)),
             F.shiftrightunsigned(F.col("fp"), t * per)
-            .bitwiseAND(F.lit((1 << width) - 1))
+            .bitwiseAND(F.lit(mask))
             .cast("string"),
         )
         parts.append(fp.select(key.alias("block_key"), "id", "fp"))
@@ -391,6 +423,14 @@ def embedding_dup_pairs(
     cosine-threshold set; single-table when candidates feed a further
     verify stage."""
     planes = 12 if n_buckets_hint is None else n_buckets_hint
+    if not 1 <= planes <= 63:
+        # the per-table signature packs one sign bit per plane into a
+        # single long; plane p ORs into bit p, so p >= 64 would silently
+        # alias onto bit p mod 64 (shiftleft wraps) and collapse buckets
+        raise ValueError(
+            f"n_buckets_hint={planes} is a HYPERPLANE count (buckets = 2^planes); "
+            "must be in [1, 63] — use n_tables for amplification instead"
+        )
     v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
 
     # sign bit p (plane index `off + p` globally) of vector x:

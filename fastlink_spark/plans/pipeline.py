@@ -153,6 +153,63 @@ def prepare_pages(pages: DataFrame, cfg: "LinkageConfig | None" = None) -> DataF
     ).drop("text")
 
 
+def zeta_pattern_df(
+    spark: SparkSession, scored_patterns, gcols: list[str]
+) -> DataFrame:
+    """Fitted (gamma pattern -> zeta) pandas frame -> the <=3^K-row
+    literal DataFrame broadcast into the matched-pair join."""
+    import pandas as pd
+
+    zrows = [
+        tuple(None if pd.isna(r[c]) else int(r[c]) for c in gcols) + (float(r["zeta"]),)
+        for _, r in scored_patterns.iterrows()
+    ]
+    zschema = ", ".join(f"{c} int" for c in gcols) + ", zeta double"
+    return spark.createDataFrame(zrows, zschema)
+
+
+def matched_from_zeta(
+    scored: DataFrame, zeta_df: DataFrame, gcols: list[str], cfg: LinkageConfig
+) -> DataFrame:
+    """THE matched-pair rule — one definition shared by the batch
+    pipeline, the incremental linker, and state compaction (divergence
+    between them silently splits/merges clusters differently per path):
+    null-safe broadcast zeta join + FS threshold, then the
+    cfg.deterministic_fields exact-match pass accepted regardless of
+    zeta, duplicates resolved to max(zeta) for a byte-stable pair
+    list."""
+    cond = None
+    for c in gcols:
+        eq = scored[c].eqNullSafe(zeta_df[c])
+        cond = eq if cond is None else (cond & eq)
+    fs = (
+        scored.join(F.broadcast(zeta_df), cond, "inner")
+        .where(F.col("zeta") >= cfg.threshold)
+        .select("a_rec_id", "b_rec_id", "zeta")
+    )
+    if cfg.deterministic_fields:
+        det_cond = None
+        for f in cfg.deterministic_fields:
+            eq = (
+                F.col(f"a_{f}").isNotNull()
+                & F.col(f"b_{f}").isNotNull()
+                & (F.col(f"a_{f}") == F.col(f"b_{f}"))
+            )
+            det_cond = eq if det_cond is None else (det_cond & eq)
+        det = scored.where(det_cond).select(
+            "a_rec_id", "b_rec_id", F.lit(1.0).alias("zeta")
+        )
+        # max(zeta), not dropDuplicates: a pair passing BOTH the FS
+        # threshold and the deterministic pass must resolve to the
+        # same zeta every run (byte-stable matched_pairs output).
+        fs = (
+            fs.unionByName(det)
+            .groupBy("a_rec_id", "b_rec_id")
+            .agg(F.max("zeta").alias("zeta"))
+        )
+    return fs
+
+
 def _blocked_records(records: DataFrame, cfg: LinkageConfig) -> DataFrame:
     """Explode block keys (materialized by the records stage), carrying
     only slim comparison attrs; refine oversized host blocks by the
@@ -273,48 +330,15 @@ def link_dedupe(
     )
     scored_patterns = em_mod.apply_em(full_patterns, em)
 
-    import pandas as pd
-
-    zrows = [
-        tuple(None if pd.isna(r[c]) else int(r[c]) for c in gcols) + (float(r["zeta"]),)
-        for _, r in scored_patterns.iterrows()
-    ]
-    zschema = ", ".join(f"{c} int" for c in gcols) + ", zeta double"
-    zeta_df = spark.createDataFrame(zrows, zschema)
-    # null-safe broadcast join on the gamma pattern (<=3^K rows)
-    cond = None
-    for c in gcols:
-        eq = scored[c].eqNullSafe(zeta_df[c])
-        cond = eq if cond is None else (cond & eq)
-    def _build_matched() -> DataFrame:
-        fs = (
-            scored.join(F.broadcast(zeta_df), cond, "inner")
-            .where(F.col("zeta") >= cfg.threshold)
-            .select("a_rec_id", "b_rec_id", "zeta")
-        )
-        if cfg.deterministic_fields:
-            det_cond = None
-            for f in cfg.deterministic_fields:
-                eq = (
-                    F.col(f"a_{f}").isNotNull()
-                    & F.col(f"b_{f}").isNotNull()
-                    & (F.col(f"a_{f}") == F.col(f"b_{f}"))
-                )
-                det_cond = eq if det_cond is None else (det_cond & eq)
-            det = scored.where(det_cond).select(
-                "a_rec_id", "b_rec_id", F.lit(1.0).alias("zeta")
-            )
-            # max(zeta), not dropDuplicates: a pair passing BOTH the FS
-            # threshold and the deterministic pass must resolve to the
-            # same zeta every run (byte-stable matched_pairs output).
-            fs = (
-                fs.unionByName(det)
-                .groupBy("a_rec_id", "b_rec_id")
-                .agg(F.max("zeta").alias("zeta"))
-            )
-        return fs
-
-    matched = ckpt.stage("matched_pairs", _build_matched, inputs=("pairs_gamma",))
+    # null-safe broadcast join on the gamma pattern (<=3^K rows) +
+    # deterministic pass — the shared rule (matched_from_zeta) keeps
+    # batch / streaming / compaction semantics identical by definition
+    zeta_df = zeta_pattern_df(spark, scored_patterns, gcols)
+    matched = ckpt.stage(
+        "matched_pairs",
+        lambda: matched_from_zeta(scored, zeta_df, gcols, cfg),
+        inputs=("pairs_gamma",),
+    )
 
     nodes = records.select("rec_id")
 

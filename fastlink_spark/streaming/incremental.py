@@ -8,8 +8,12 @@ each micro-batch of arriving pages. Per batch:
 
   1. normalize + block keys (same frozen functions as batch);
   2. candidate pairs = new records x (existing ∪ new) via block-key
-     equi-join (inverted-index lookup, not a self-join re-run);
-  3. gamma scoring + broadcast zeta join with the FROZEN pattern table;
+     equi-join over the persisted inverted index, PRUNED to the batch's
+     own block keys (per-batch cost scales with the batch, not the
+     corpus) and deduped to each record's latest crawl;
+  3. gamma scoring + the batch pipeline's EXACT matched-pair rule
+     (pipeline.matched_from_zeta: frozen zeta threshold + the
+     deterministic-fields pass) — one shared definition, no drift;
   4. accepted pairs assign each new record to min(own rec_id, partner
      labels) — a single distributed groupBy, no iteration;
   5. label DISAGREEMENT edges (matched pairs whose two endpoints ended
@@ -18,10 +22,27 @@ each micro-batch of arriving pages. Per batch:
      (only conflicting LABEL pairs, never the pair stream), resolved
      with a tiny union-find, and persisted as a relabel map;
   6. state (records index + entities + relabel map) written to the
-     state dir; ``entities()`` applies the (broadcast) relabel map at
-     read, so merged clusters read as one entity.
+     state dir with a monotone ``_seq`` stamp; ``entities()`` serves
+     each rec_id's LATEST assignment with the (broadcast) relabel map
+     applied, so merged clusters read as one entity and a re-crawled
+     url has exactly one row.
 
-The relabel map grows with the merge count; ``compact()`` (first-class
+Delivery semantics: foreachBatch is at-least-once. When a real
+``batch_id`` is supplied (the stream wiring always does), an
+already-applied id is skipped, making replays no-ops once a batch
+fully committed. A crash mid-batch (parquet appended, meta not yet
+advanced) re-runs the batch; the duplicate appended rows are
+superseded harmlessly because every read path takes max-``_seq`` per
+record. True atomic commit needs a transactional table format — on
+Iceberg each batch would be one transaction and this guard disappears.
+
+Between compactions cluster membership is MERGE-MONOTONE: batches add
+match edges and merge clusters but never retract — a re-crawl whose
+text stops matching supersedes its own row yet cannot split a cluster
+in-stream (retraction is the classically-hard half of incremental CC).
+``compact()`` is the split point: it re-links the LATEST crawl rows
+from scratch, so stale merges dissolve there. The relabel map grows
+with the merge count; ``compact()`` (first-class
 since r4) re-links the persisted state through the batch operators and
 empties it — schedule per N batches / map-size threshold, same
 tradeoff as any streaming CC. On Iceberg the relabel would be a MERGE
@@ -30,6 +51,7 @@ INTO over the affected partition subset instead of a read-time map.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,22 +61,19 @@ from ..em import EMResult, apply_em
 from ..operators import gammas
 from ..operators.pairs import candidate_pairs_two
 from ..plans.materialize import resolve as _resolve_mat
-from ..plans.pipeline import LinkageConfig, prepare_pages
+from ..plans.pipeline import (
+    LinkageConfig,
+    matched_from_zeta,
+    prepare_pages,
+    zeta_pattern_df,
+)
 
 
-def _deterministic_cond(cfg: LinkageConfig):
-    """Pair predicate for cfg.deterministic_fields (exact, non-null
-    agreement on every listed field) — the same rule as the batch
-    pipeline's deterministic-match pass. None when the list is empty."""
-    cond = None
-    for f in cfg.deterministic_fields:
-        eq = (
-            F.col(f"a_{f}").isNotNull()
-            & F.col(f"b_{f}").isNotNull()
-            & (F.col(f"a_{f}") == F.col(f"b_{f}"))
-        )
-        cond = eq if cond is None else (cond & eq)
-    return cond
+def _with_seq(df: DataFrame | None) -> DataFrame | None:
+    """Back-compat: states written before the _seq stamp read as seq 0."""
+    if df is not None and "_seq" not in df.columns:
+        df = df.withColumn("_seq", F.lit(0).cast("long"))
+    return df
 
 
 class IncrementalLinker:
@@ -81,33 +100,56 @@ class IncrementalLinker:
             return self.spark.read.parquet(p)
         return None
 
-    def _read_relabels(self) -> dict[int, int]:
+    def _read_meta(self) -> dict:
+        p = self._path("meta.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"seq": 0, "last_batch_id": -1}
+
+    def _write_meta(self, meta: dict) -> None:
+        with open(self._path("meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    def _id_ddl(self) -> str:
+        """Spark DDL type of rec_id/cluster_id labels (long for the
+        default 64-bit key, string under cfg.wide_rec_id's 128-bit hex
+        key) — relabel tables and null literals must match it."""
+        return "string" if self.cfg.wide_rec_id else "long"
+
+    def _read_relabels(self) -> dict:
         p = self._path("relabels.json")
         if os.path.exists(p):
-            import json
-
             with open(p) as f:
-                return {int(k): int(v) for k, v in json.load(f).items()}
+                raw = json.load(f)
+            if self.cfg.wide_rec_id:
+                return dict(raw.items())
+            return {int(k): int(v) for k, v in raw.items()}
         return {}
 
-    def _write_relabels(self, mapping: dict[int, int]) -> None:
-        import json
-
+    def _write_relabels(self, mapping: dict) -> None:
         with open(self._path("relabels.json"), "w") as f:
             json.dump({str(k): v for k, v in mapping.items()}, f)
 
     def entities(self) -> DataFrame | None:
-        """Entity state with the relabel map applied (merged clusters
-        read as one). The map is tiny (one row per merge event) and is
-        applied as a broadcast join."""
-        ent = self._read_state("entities")
+        """Entity state: one row per rec_id (its LATEST assignment by
+        _seq — re-crawls supersede, never duplicate) with the relabel
+        map applied as a broadcast join (tiny: one row per merge
+        event). compact() collapses both read-time layers to a plain
+        scan."""
+        ent = _with_seq(self._read_state("entities"))
         if ent is None:
             return None
+        ent = ent.groupBy("rec_id").agg(
+            F.max_by("cluster_id", "_seq").alias("cluster_id"),
+            F.max_by("url", "_seq").alias("url"),
+        )
         mapping = self._read_relabels()
         if not mapping:
             return ent
+        idt = self._id_ddl()
         mdf = self.spark.createDataFrame(
-            list(mapping.items()), "cluster_id long, __to long"
+            list(mapping.items()), f"cluster_id {idt}, __to {idt}"
         )
         return (
             ent.join(F.broadcast(mdf), "cluster_id", "left")
@@ -118,79 +160,86 @@ class IncrementalLinker:
         )
 
     # -- core -------------------------------------------------------------
-    def process_batch(self, new_pages: DataFrame, batch_id: int = 0) -> DataFrame:
-        """Link one micro-batch; returns the new entities rows."""
+    def process_batch(
+        self, new_pages: DataFrame, batch_id: int | None = None
+    ) -> DataFrame | None:
+        """Link one micro-batch; returns the new entities rows.
+
+        ``batch_id``: pass the foreachBatch id (stream_from_files does)
+        to make redelivered batches no-ops after a full commit; direct
+        ad-hoc calls may omit it (no replay dedup)."""
+        meta = self._read_meta()
+        if batch_id is not None and batch_id <= meta["last_batch_id"]:
+            return None  # replayed batch, already fully applied
+        seq = meta["seq"] + 1
+
         cfg = self.cfg
         fields = list(cfg.fields)
         new_rec = _resolve_mat(None)(prepare_pages(new_pages, cfg), "new_rec")
 
-        old_rec = self._read_state("records")
+        old_rec = _with_seq(self._read_state("records"))
         attrs = ["rec_id"] + [f.name for f in fields]
         new_blocked = new_rec.select(F.explode("block_keys").alias("block_key"), *attrs)
         if old_rec is not None:
-            index = old_rec.select(F.explode("block_keys").alias("block_key"), *attrs).union(
-                new_blocked
+            # inverted-index LOOKUP, not a corpus re-scan: keep only
+            # index rows in blocks the batch actually touches (leftsemi
+            # on the batch's key set — AQE broadcasts it when small),
+            # then resolve each (block, rec_id) to its latest crawl's
+            # attributes (max_by _seq) so re-crawled records never score
+            # with stale fields. Per-batch cost now scales with the
+            # touched blocks, not the corpus.
+            batch_keys = new_blocked.select("block_key").distinct()
+            old_blocked = (
+                old_rec.select(
+                    F.explode("block_keys").alias("block_key"), *attrs, "_seq"
+                )
+                .join(batch_keys, "block_key", "leftsemi")
+                .groupBy("block_key", "rec_id")
+                .agg(
+                    *[
+                        F.max_by(f.name, "_seq").alias(f.name)
+                        for f in fields
+                    ]
+                )
             )
+            index = old_blocked.select("block_key", *attrs).union(new_blocked)
         else:
             index = new_blocked
 
-        # new-batch bands x (corpus ∪ new) bands through the salted S x T
-        # grid (operators.pairs.candidate_pairs_two): a hot band in the
-        # persisted index — boilerplate-heavy corpora collide massively
-        # on one band value — would otherwise put batch_rows x
-        # corpus_rows of that band into ONE reduce task, the straggler
-        # class the batch path eliminated in r3. Same pair semantics as
-        # the raw equi-join it replaces: both orientations of new x new
-        # pairs survive (harmless duplicates the downstream min-label
-        # assignment tolerates), self-pairs filtered.
-        pairs = candidate_pairs_two(new_blocked, index, id_col="rec_id").where(
-            F.col("a_rec_id") != F.col("b_rec_id")
-        )
+        # new-batch bands x (touched corpus ∪ new) bands through the
+        # salted S x T grid (operators.pairs.candidate_pairs_two): a hot
+        # band in the persisted index — boilerplate-heavy corpora
+        # collide massively on one band value — would otherwise put
+        # batch_rows x corpus_rows of that band into ONE reduce task,
+        # the straggler class the batch path eliminated in r3. Same
+        # pair semantics as the raw equi-join it replaces: both
+        # orientations of new x new pairs survive (harmless duplicates
+        # the downstream min-label assignment tolerates), self-pairs
+        # filtered — which also means a re-crawl never pairs with its
+        # own older crawl (same rec_id): its assignment comes from its
+        # CURRENT matches, superseding the old row via _seq, exactly
+        # the latest-crawl semantics compact()/batch use.
+        pairs = candidate_pairs_two(
+            new_blocked,
+            index,
+            id_col="rec_id",
+            skew_threshold=cfg.skew_threshold,
+            target_block=cfg.target_block,
+        ).where(F.col("a_rec_id") != F.col("b_rec_id"))
         scored = gammas.with_gammas(pairs, fields)
         gcols = [f"gamma_{f.name}" for f in fields]
         patt = gammas.pattern_counts(scored, fields).toPandas()
         if len(patt) == 0:
             matched = None
         else:
-            z = apply_em(patt, self.em)
-            import pandas as pd
-
-            zrows = [
-                tuple(None if pd.isna(r[c]) else int(r[c]) for c in gcols)
-                + (float(r["zeta"]),)
-                for _, r in z.iterrows()
-            ]
-            zdf = self.spark.createDataFrame(
-                zrows, ", ".join(f"{c} int" for c in gcols) + ", zeta double"
-            )
-            cond = None
-            for c in gcols:
-                eq = scored[c].eqNullSafe(zdf[c])
-                cond = eq if cond is None else (cond & eq)
-            matched = (
-                scored.join(F.broadcast(zdf), cond, "inner")
-                .where(F.col("zeta") >= cfg.threshold)
-                .select("a_rec_id", "b_rec_id", "zeta")
-            )
-            det_cond = _deterministic_cond(cfg)
-            if det_cond is not None:
-                # the batch pipeline's deterministic-match pass
-                # (pipeline._build_matched): pairs exactly equal on all
-                # cfg.deterministic_fields are accepted regardless of
-                # zeta — the incremental path must match batch semantics
-                # or compact()/batch re-runs would merge pairs the
-                # stream left split. max(zeta) keeps the pair list
-                # duplicate-free and byte-stable like the batch stage.
-                det = scored.where(det_cond).select(
-                    "a_rec_id", "b_rec_id", F.lit(1.0).alias("zeta")
-                )
-                matched = (
-                    matched.unionByName(det)
-                    .groupBy("a_rec_id", "b_rec_id")
-                    .agg(F.max("zeta").alias("zeta"))
-                )
+            # THE shared matched-pair rule (frozen zeta + deterministic
+            # pass) — identical by construction to the batch pipeline
+            # and compact()
+            zdf = zeta_pattern_df(self.spark, apply_em(patt, self.em), gcols)
+            matched = matched_from_zeta(scored, zdf, gcols, cfg)
 
         old_ent = self.entities()
+        idt = self._id_ddl()
         if matched is not None and old_ent is not None:
             partner_clusters = matched.join(
                 old_ent.select(F.col("rec_id").alias("b_rec_id"), "cluster_id"),
@@ -198,7 +247,9 @@ class IncrementalLinker:
                 "left",
             )
         elif matched is not None:
-            partner_clusters = matched.withColumn("cluster_id", F.lit(None).cast("long"))
+            partner_clusters = matched.withColumn(
+                "cluster_id", F.lit(None).cast(idt)
+            )
         else:
             partner_clusters = None
 
@@ -253,9 +304,9 @@ class IncrementalLinker:
             )
             if conflicts:
                 mapping = self._read_relabels()
-                parent: dict[int, int] = {}
+                parent: dict = {}
 
-                def find(x: int) -> int:
+                def find(x):
                     r = x
                     while parent.get(r, r) != r:
                         r = parent[r]
@@ -263,21 +314,24 @@ class IncrementalLinker:
                         parent[x], x = r, parent[x]
                     return r
 
-                def union(x: int, y: int) -> None:
+                def union(x, y) -> None:
                     rx, ry = find(x), find(y)
                     if rx != ry:
+                        # canonical = min label: numeric order for long
+                        # keys, lexicographic for wide hex keys — the
+                        # same order cluster.py's F.min canonicalizes by
                         lo, hi = (rx, ry) if rx < ry else (ry, rx)
                         parent[hi] = lo
 
                 for k, v in mapping.items():
                     union(k, v)
                 for r in conflicts:
-                    union(int(r["la"]), int(r["lb"]))
+                    union(r["la"], r["lb"])
                 resolved = {x: find(x) for x in parent}
                 self._write_relabels({k: v for k, v in resolved.items() if k != v})
                 mdf = self.spark.createDataFrame(
                     [(k, v) for k, v in resolved.items() if k != v],
-                    "cluster_id long, __to long",
+                    f"cluster_id {idt}, __to {idt}",
                 )
                 new_ent = _resolve_mat(None)(
                     new_ent.join(F.broadcast(mdf), "cluster_id", "left").select(
@@ -288,8 +342,20 @@ class IncrementalLinker:
                     "new_ent_relabel",
                 )
 
-        new_rec.write.mode("append").parquet(self._path("records"))
-        new_ent.write.mode("append").parquet(self._path("entities"))
+        stamp = F.lit(seq).cast("long")
+        new_rec.withColumn("_seq", stamp).write.mode("append").parquet(
+            self._path("records")
+        )
+        new_ent.withColumn("_seq", stamp).write.mode("append").parquet(
+            self._path("entities")
+        )
+        # commit point: meta advances only after both appends succeeded;
+        # a crash before this line replays the batch (idempotent via the
+        # batch_id guard + max-_seq reads)
+        meta["seq"] = seq
+        if batch_id is not None:
+            meta["last_batch_id"] = batch_id
+        self._write_meta(meta)
         return new_ent
 
     def compact(self) -> DataFrame | None:
@@ -297,40 +363,39 @@ class IncrementalLinker:
         ("a periodic re-run of batch CC compacts the relabel map")
         made a first-class op. Re-links the ENTIRE persisted record
         state through the batch operators with the FROZEN EM (salted
-        grid self-join -> gamma scoring -> frozen-zeta threshold plus
-        the cfg.deterministic_fields exact-match pass, exactly like the
-        batch pipeline's matched stage -> large-star/small-star CC),
-        rewrites the entities state to the CC labels, and empties the
-        relabel map. Re-crawled urls contribute their LATEST crawl row
-        (warc_ts desc, deterministic tiebreak). After compact(),
-        ``entities()`` serves exactly the clusters a from-scratch batch
-        run over the same pages with the same frozen parameters
-        produces, and read-time relabel cost is zero until the next
-        merge event. Cost = one batch link over the corpus — schedule
-        it off-peak; every stage is the same scale-audited plan the
-        batch pipeline runs (no new shuffle shapes)."""
-        import pandas as pd
-
-        from ..operators.cluster import connected_components
-        from ..plans.pipeline import _blocked_records
-
-        records = self._read_state("records")
-        if records is None:
-            return None
+        grid self-join -> gamma scoring -> the shared matched_from_zeta
+        rule -> large-star/small-star CC), rewrites BOTH states to the
+        latest-crawl rows (records keeps one row per rec_id; entities
+        gets the CC labels), and empties the relabel map. After
+        compact(), ``entities()`` serves exactly the clusters a
+        from-scratch batch run over the same pages with the same frozen
+        parameters produces, and read-time relabel/latest-wins cost is
+        zero until the next batch. Cost = one batch link over the
+        corpus — schedule it off-peak; every stage is the same
+        scale-audited plan the batch pipeline runs (no new shuffle
+        shapes)."""
         from pyspark.sql import Window
 
+        from ..operators.cluster import connected_components
+        from ..operators.pairs import candidate_pairs
+        from ..plans.pipeline import _blocked_records
+
+        records = _with_seq(self._read_state("records"))
+        if records is None:
+            return None
         cfg = self.cfg
         fields = list(cfg.fields)
         gcols = [f"gamma_{f.name}" for f in fields]
         mat = _resolve_mat(None)
         # re-crawled urls appear once per batch in the append-only
         # records state (same rec_id = xxhash64(url)); keep the LATEST
-        # crawl deterministically (warc_ts desc, content-hash tiebreak
-        # for equal timestamps) — a bare dropDuplicates picks a
-        # partition-order-dependent row, making compaction output
-        # nondeterministic and possibly linking on stale attributes.
+        # crawl deterministically (_seq desc; content-hash tiebreak for
+        # replay duplicates sharing a _seq) — a bare dropDuplicates
+        # picks a partition-order-dependent row, making compaction
+        # output nondeterministic and possibly linking on stale
+        # attributes.
         wins = Window.partitionBy("rec_id").orderBy(
-            F.desc_nulls_last("warc_ts"),
+            F.desc("_seq"),
             F.asc(F.xxhash64(*[c for c in records.columns if c != "rec_id"])),
         )
         records = mat(
@@ -341,41 +406,16 @@ class IncrementalLinker:
         )
 
         blocked = _blocked_records(records, cfg)
-        from ..operators.pairs import candidate_pairs
-
         pairs = candidate_pairs(
             blocked, skew_threshold=cfg.skew_threshold, target_block=cfg.target_block
         )
         scored = gammas.with_gammas(pairs, fields)
         patt = gammas.pattern_counts(scored, fields).toPandas()
         if len(patt):
-            z = apply_em(patt, self.em)
-            zrows = [
-                tuple(None if pd.isna(r[c]) else int(r[c]) for c in gcols)
-                + (float(r["zeta"]),)
-                for _, r in z.iterrows()
-            ]
-            zdf = self.spark.createDataFrame(
-                zrows, ", ".join(f"{c} int" for c in gcols) + ", zeta double"
+            zdf = zeta_pattern_df(self.spark, apply_em(patt, self.em), gcols)
+            edges = matched_from_zeta(scored, zdf, gcols, cfg).select(
+                "a_rec_id", "b_rec_id"
             )
-            cond = None
-            for c in gcols:
-                eq = scored[c].eqNullSafe(zdf[c])
-                cond = eq if cond is None else (cond & eq)
-            edges = (
-                scored.join(F.broadcast(zdf), cond, "inner")
-                .where(F.col("zeta") >= cfg.threshold)
-                .select("a_rec_id", "b_rec_id")
-            )
-            det_cond = _deterministic_cond(cfg)
-            if det_cond is not None:
-                # mirror the batch pipeline's deterministic-match pass —
-                # without it compacted clusters would diverge from a
-                # from-scratch link_dedupe on pairs like (2,0,0) that
-                # agree exactly on url_norm but score under threshold
-                edges = edges.unionByName(
-                    scored.where(det_cond).select("a_rec_id", "b_rec_id")
-                ).distinct()
         else:
             edges = records.select(
                 F.col("rec_id").alias("a_rec_id")
@@ -384,19 +424,27 @@ class IncrementalLinker:
         labels = connected_components(
             edges, records.select(F.col("rec_id").alias("id")), materializer=mat
         )
+        meta = self._read_meta()
+        stamp = F.lit(meta["seq"]).cast("long")
         new_ent = mat(
             labels.withColumnRenamed("id", "rec_id")
             .join(records.select("rec_id", "url"), "rec_id")
-            .select("rec_id", "cluster_id", "url"),
+            .select("rec_id", "cluster_id", "url")
+            .withColumn("_seq", stamp),
             "compact_entities",
         )
         new_ent.write.mode("overwrite").parquet(self._path("entities"))
+        # records state compacts too: superseded crawl rows are dead
+        # weight for every future batch's index scan
+        records.write.mode("overwrite").parquet(self._path("records"))
         self._write_relabels({})
-        return self.spark.read.parquet(self._path("entities"))
+        return self.spark.read.parquet(self._path("entities")).drop("_seq")
 
     # -- streaming wiring ---------------------------------------------------
     def stream_from_files(self, input_dir: str, checkpoint_dir: str, schema):
-        """readStream(file source) -> foreachBatch(process_batch)."""
+        """readStream(file source) -> foreachBatch(process_batch). The
+        real batch_id flows through, so redelivered batches after a
+        restart are no-ops once committed."""
         stream = self.spark.readStream.schema(schema).parquet(input_dir)
         return (
             stream.writeStream.foreachBatch(

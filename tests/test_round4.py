@@ -536,3 +536,109 @@ def test_incremental_plus_compact_equals_batch_partition(spark, tmp_path):
     got = parts(linker.entities().collect())
     want = parts(batch.entities.collect())
     assert got == want
+
+
+# ----------------- incremental hardening (r4 self-review round 2)
+
+def test_incremental_same_url_recrawl_supersedes(spark, tmp_path):
+    """A re-crawl of the SAME url (same rec_id) must supersede, not
+    duplicate: entities() serves exactly one row per rec_id. Cluster
+    membership is MERGE-MONOTONE between compactions (a stream can
+    cheaply add edges, never retract them — standard incremental-CC
+    semantics), so the split the changed text implies materializes at
+    compact(), which re-links the LATEST crawl rows."""
+    from fastlink_spark.plans.pipeline import LinkageConfig
+    from fastlink_spark.streaming.incremental import IncrementalLinker
+    from tests.test_round3 import _RECRAWL_TOKENS, _toy_em
+
+    t1 = " ".join(_RECRAWL_TOKENS)
+    t1p = " ".join(["CHANGED" if i == 20 else t for i, t in enumerate(_RECRAWL_TOKENS)])
+    t_new = " ".join(f"fresh{i}" for i in range(40))
+    url_x = "https://hostx.example.com/page"
+    linker = IncrementalLinker(
+        spark, str(tmp_path / "st"), _toy_em(), LinkageConfig(threshold=0.5)
+    )
+    # batch 1: X matches partner O (near-dup text, same title)
+    linker.process_batch(
+        _mk_pages4(
+            spark,
+            [
+                (url_x, "recrawl title x", t1),
+                ("https://hosto.example.com/o", "recrawl title x", t1p),
+            ],
+        )
+    )
+    e1 = linker.entities().collect()
+    assert len(e1) == 2 and len({r["cluster_id"] for r in e1}) == 1
+    # batch 2: X re-crawled with unrelated text AND title
+    linker.process_batch(_mk_pages4(spark, [(url_x, "totally new", t_new)]))
+    e2 = linker.entities().collect()
+    assert len(e2) == 2  # ONE row per rec_id, not three (supersede, no dup)
+    # compact() re-links the latest crawls: X and O now split
+    linker.compact()
+    by_url = {r["url"]: r["cluster_id"] for r in linker.entities().collect()}
+    assert len(by_url) == 2
+    assert by_url[url_x] != by_url["https://hosto.example.com/o"]
+
+
+def test_incremental_batch_replay_is_noop(spark, tmp_path):
+    """At-least-once foreachBatch: redelivering an already-committed
+    batch_id must change nothing (returns None, state byte-identical)."""
+    from fastlink_spark.plans.pipeline import LinkageConfig
+    from fastlink_spark.streaming.incremental import IncrementalLinker
+    from tests.test_round3 import _toy_em
+
+    linker = IncrementalLinker(
+        spark, str(tmp_path / "st"), _toy_em(), LinkageConfig(threshold=0.5)
+    )
+    pages = _mk_pages4(
+        spark, [("https://a.example.com/1", "t", "alpha beta gamma " * 5)]
+    )
+    out1 = linker.process_batch(pages, batch_id=0)
+    assert out1 is not None
+    snap = sorted((r["rec_id"], r["cluster_id"]) for r in linker.entities().collect())
+    assert linker.process_batch(pages, batch_id=0) is None  # replay skipped
+    assert (
+        sorted((r["rec_id"], r["cluster_id"]) for r in linker.entities().collect())
+        == snap
+    )
+    # a NEW batch id still applies
+    assert linker.process_batch(
+        _mk_pages4(spark, [("https://b.example.com/2", "t2", "other words " * 5)]),
+        batch_id=1,
+    ) is not None
+    assert linker.entities().count() == 2
+
+
+def test_incremental_wide_rec_id_merge(spark, tmp_path):
+    """wide_rec_id=True (128-bit hex string keys) through the full
+    incremental path INCLUDING a merge event: the relabel union-find
+    and map must handle string labels (the long-typed path raised
+    ValueError here before r4's second review pass)."""
+    from fastlink_spark.plans.pipeline import LinkageConfig
+    from fastlink_spark.streaming.incremental import IncrementalLinker
+    from tests.test_round3 import _RECRAWL_TOKENS, _toy_em
+
+    t1 = " ".join(_RECRAWL_TOKENS)
+    t1p = " ".join(["CHANGED" if i == 20 else t for i, t in enumerate(_RECRAWL_TOKENS)])
+    t2 = " ".join(f"other{i}" for i in range(40))
+    cfg = LinkageConfig(threshold=0.5, wide_rec_id=True)
+    linker = IncrementalLinker(spark, str(tmp_path / "st"), _toy_em(), cfg)
+    linker.process_batch(
+        _mk_pages4(
+            spark,
+            [
+                ("https://hostone.example.com/a", "bridge title x", t1),
+                ("https://hosttwo.example.com/b", "bridge title x", t2),
+            ],
+        )
+    )
+    assert len({r["cluster_id"] for r in linker.entities().collect()}) == 2
+    # bridge batch -> merge event over STRING labels
+    linker.process_batch(
+        _mk_pages4(spark, [("https://hosttwo.example.com/c", "bridge title x", t1p)])
+    )
+    ents = linker.entities().collect()
+    assert len(ents) == 3
+    assert len({r["cluster_id"] for r in ents}) == 1
+    assert all(isinstance(r["cluster_id"], str) and len(r["cluster_id"]) == 32 for r in ents)
