@@ -76,20 +76,50 @@ class EMResult:
         )
 
 
+def _level_masks(
+    patt: pd.DataFrame, gamma_cols: list[str], levels: dict[str, list[int]]
+) -> dict[str, list[np.ndarray]]:
+    """Per-field, per-level boolean row masks. Iteration-invariant —
+    computed ONCE and reused across every EM iteration (rebuilding them
+    per iteration was O(iters·fields·levels·rows) interpreted Python,
+    the dominant fit cost). dtype=bool is load-bearing: an empty
+    comprehension otherwise yields float64, which numpy rejects as an
+    index."""
+    out: dict[str, list[np.ndarray]] = {}
+    for c in gamma_cols:
+        g = patt[c].to_numpy(dtype=object)
+        out[c] = [
+            np.array([x is not None and x == lv for x in g], dtype=bool)
+            for lv in levels[c]
+        ]
+    return out
+
+
+def _class_lik_masks(
+    n_rows: int,
+    gamma_cols: list[str],
+    masks: dict[str, list[np.ndarray]],
+    probs: dict[str, list[float]],
+) -> np.ndarray:
+    """prod_k P(gamma_k | class) with MAR nulls contributing factor 1,
+    from precomputed level masks."""
+    lik = np.ones(n_rows, dtype=np.float64)
+    for c in gamma_cols:
+        p = np.ones(n_rows, dtype=np.float64)
+        for li, mask in enumerate(masks[c]):
+            p[mask] = max(probs[c][li], _EPS)
+        lik *= p
+    return lik
+
+
 def _class_lik(
     patt: pd.DataFrame, gamma_cols: list[str], levels: dict[str, list[int]],
     probs: dict[str, list[float]],
 ) -> np.ndarray:
-    """prod_k P(gamma_k | class) with MAR nulls contributing factor 1."""
-    lik = np.ones(len(patt), dtype=np.float64)
-    for c in gamma_cols:
-        g = patt[c].to_numpy(dtype=object)
-        p = np.ones(len(patt), dtype=np.float64)
-        for li, lv in enumerate(levels[c]):
-            mask = np.array([x is not None and x == lv for x in g])
-            p[mask] = max(probs[c][li], _EPS)
-        lik *= p
-    return lik
+    """One-shot variant (apply_em): builds the masks and evaluates."""
+    return _class_lik_masks(
+        len(patt), gamma_cols, _level_masks(patt, gamma_cols, levels), probs
+    )
 
 
 def emlink_mar(
@@ -101,10 +131,31 @@ def emlink_mar(
     iter_max: int = 5000,
     lambda_prior_w: float = 0.0,
     lambda_prior: float = 0.0,
+    level_universe: dict[str, list[int]] | None = None,
+    dirichlet_w: float = 0.0,
 ) -> EMResult:
     """Fit the FS mixture by EM over a pattern-count table.
 
     `patterns`: columns = gamma_cols (nullable int) + 'cnt' (long).
+
+    ``level_universe``: optional per-field COMPLETE level sets (e.g.
+    from FieldSpec.possible_levels()). Essential when fitting on a
+    SAMPLE that will be applied to the full table (emlinkRS): a rare
+    level absent from the sample would otherwise be missing from the
+    model and apply_em would score it as MAR-missing — dropping the
+    field's strongest evidence exactly on the rarest (most
+    informative) agreements. Pair it with ``dirichlet_w``.
+
+    ``dirichlet_w``: Dirichlet pseudo-count weight toward each class's
+    INIT distribution in the M-step (the reference's prior machinery,
+    ``R/emlinkMARmov.R`` psi/mu knobs, reduced to one scalar). With 0
+    (default) a universe level with zero sample counts collapses to
+    m≈u≈eps — ratio ~1, i.e. no evidence, barely better than MAR. A
+    small weight (1.0 = one pseudo-pair) keeps the init's ORDERING of
+    levels alive for unseen cells (the match class loads agreement),
+    so a rare level still carries match evidence at apply time, while
+    real counts swamp the pseudo-count wherever they exist. Negligible
+    when every level is observed.
     """
     patt = patterns.copy()
     # normalize null representations to Python None
@@ -125,8 +176,10 @@ def emlink_mar(
 
     levels: dict[str, list[int]] = {}
     for c in gamma_cols:
-        obs = sorted({v for v in patt[c] if v is not None})
-        levels[c] = obs if obs else [0]
+        obs = {v for v in patt[c] if v is not None}
+        if level_universe is not None:
+            obs |= set(level_universe.get(c, []))
+        levels[c] = sorted(obs) if obs else [0]
 
     # deterministic init (fastLink-like): match class loads the top level
     m: dict[str, list[float]] = {}
@@ -142,18 +195,28 @@ def emlink_mar(
         tot = 0.0
         cnts = np.zeros(L)
         for li, lv in enumerate(levels[c]):
-            mask = np.array([x == lv for x in patt[c]])
+            mask = np.array([x == lv for x in patt[c]], dtype=bool)
             cnts[li] = n[mask].sum()
         tot = cnts.sum()
         u[c] = list((cnts + 1.0) / (tot + L))  # +1 smoothing
+
+    # iteration-invariant row masks, built once (see _level_masks)
+    masks = _level_masks(patt, gamma_cols, levels)
+    obs_masks = {
+        c: np.array([x is not None for x in patt[c]], dtype=bool) for c in gamma_cols
+    }
+    n_rows = len(patt)
+    # Dirichlet pseudo-counts anchored at the init distributions
+    m_init = {c: list(m[c]) for c in gamma_cols}
+    u_init = {c: list(u[c]) for c in gamma_cols}
 
     lam = p_m
     loglik_trace: list[float] = []
     converged = False
     it = 0
     for it in range(1, iter_max + 1):
-        fm = _class_lik(patt, gamma_cols, levels, m)
-        fu = _class_lik(patt, gamma_cols, levels, u)
+        fm = _class_lik_masks(n_rows, gamma_cols, masks, m)
+        fu = _class_lik_masks(n_rows, gamma_cols, masks, u)
         wm = lam * fm
         wu = (1.0 - lam) * fu
         denom = np.maximum(wm + wu, _EPS)
@@ -168,15 +231,15 @@ def emlink_mar(
         new_m: dict[str, list[float]] = {}
         new_u: dict[str, list[float]] = {}
         for c in gamma_cols:
-            gl = patt[c]
-            obs_mask = np.array([x is not None for x in gl])
-            denom_m = max((n * zeta)[obs_mask].sum(), _EPS)
-            denom_u = max((n * (1 - zeta))[obs_mask].sum(), _EPS)
+            obs_mask = obs_masks[c]
+            denom_m = max((n * zeta)[obs_mask].sum() + dirichlet_w, _EPS)
+            denom_u = max((n * (1 - zeta))[obs_mask].sum() + dirichlet_w, _EPS)
             mm, uu = [], []
-            for lv in levels[c]:
-                mask = np.array([x == lv for x in gl])
-                mm.append(max((n * zeta)[mask].sum() / denom_m, _EPS))
-                uu.append(max((n * (1 - zeta))[mask].sum() / denom_u, _EPS))
+            for li, mask in enumerate(masks[c]):
+                pc_m = dirichlet_w * m_init[c][li]
+                pc_u = dirichlet_w * u_init[c][li]
+                mm.append(max(((n * zeta)[mask].sum() + pc_m) / denom_m, _EPS))
+                uu.append(max(((n * (1 - zeta))[mask].sum() + pc_u) / denom_u, _EPS))
             new_m[c] = list(np.array(mm) / np.sum(mm))
             new_u[c] = list(np.array(uu) / np.sum(uu))
 
@@ -211,6 +274,9 @@ def apply_em(patterns: pd.DataFrame, em: EMResult) -> pd.DataFrame:
     sample, parameters applied to the full pattern table (SURVEY.md G8/G9).
     """
     patt = patterns.copy()
+    if len(patt) == 0:
+        patt["zeta"] = pd.Series([], dtype=np.float64)
+        return patt
     for c in em.gamma_cols:
         patt[c] = patt[c].astype(object).where(pd.notna(patt[c]), None)
         # dtype=object is load-bearing: a bare list of ints+None would be

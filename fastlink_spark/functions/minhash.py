@@ -84,21 +84,15 @@ def _oph_batch(hash_arrays: "pd.Series", k: int) -> "pd.Series":
     if n == 0:
         return pd.Series([], dtype=object)
     lens = np.fromiter((0 if h is None else len(h) for h in hash_arrays), np.int64, count=n)
-    total = int(lens.sum())
-    sig = np.full((n, k), _EMPTY_SENTINEL, dtype=np.int64)
-    if total > 0:
+    if lens.sum() > 0:
         flat = np.concatenate(
             [np.asarray(h, dtype=np.int64) for h in hash_arrays if h is not None and len(h)]
         )
         row_idx = np.repeat(np.arange(n), lens)
-        bucket = flat & (k - 1)
-        gidx = row_idx * k + bucket
-        order = np.argsort(gidx, kind="stable")
-        gs, fs = gidx[order], flat[order]
-        starts = np.nonzero(np.r_[True, gs[1:] != gs[:-1]])[0]
-        mins = np.minimum.reduceat(fs, starts)
-        sig.reshape(-1)[gs[starts]] = mins
-    sig = _densify(sig, k)
+    else:
+        flat = np.empty(0, dtype=np.int64)
+        row_idx = np.empty(0, dtype=np.int64)
+    sig = _bucket_min_densify(flat, row_idx, n, k)
     out = [None if lens[i] == 0 else sig[i].tolist() for i in range(n)]
     return pd.Series(out, dtype=object)
 
@@ -184,16 +178,7 @@ def oph_from_token_hashes_udf(k: int, w: int):
             [np.asarray(h, dtype=np.int64) for h in token_hashes if h is not None and len(h)]
         )
         sh, row_of = _rolling_shingles(flat, lens, w)
-        sig = np.full((n, k), _EMPTY_SENTINEL, dtype=np.int64)
-        if len(sh):
-            bucket = sh & (k - 1)
-            gidx = row_of * k + bucket
-            order = np.argsort(gidx)
-            gs, fs = gidx[order], sh[order]
-            startpos = np.nonzero(np.r_[True, gs[1:] != gs[:-1]])[0]
-            mins = np.minimum.reduceat(fs, startpos)
-            sig.reshape(-1)[gs[startpos]] = mins
-        sig = _densify(sig, k)
+        sig = _bucket_min_densify(sh, row_of, n, k)
         return pd.Series(
             [None if lens[i] == 0 else sig[i].tolist() for i in range(n)], dtype=object
         )
@@ -201,11 +186,37 @@ def oph_from_token_hashes_udf(k: int, w: int):
     return _udf
 
 
+def _bucket_min_densify(
+    values: np.ndarray, row_of: np.ndarray, n: int, k: int
+) -> np.ndarray:
+    """Shared OPH core (ONE definition for both the shingle-hash and
+    token-hash UDF paths — they previously carried near-verbatim
+    copies, a drift hazard): scatter each value into bucket
+    ``value & (k-1)`` of its row, keep the per-bucket min
+    (stable-sort + reduceat, no per-row Python), then rotation-densify
+    empty buckets."""
+    sig = np.full((n, k), _EMPTY_SENTINEL, dtype=np.int64)
+    if len(values):
+        bucket = values & (k - 1)
+        gidx = row_of * k + bucket
+        order = np.argsort(gidx, kind="stable")
+        gs, fs = gidx[order], values[order]
+        starts = np.nonzero(np.r_[True, gs[1:] != gs[:-1]])[0]
+        mins = np.minimum.reduceat(fs, starts)
+        sig.reshape(-1)[gs[starts]] = mins
+    return _densify(sig, k)
+
+
 def _densify(sig: np.ndarray, k: int) -> np.ndarray:
     """Rotation densification of empty OPH buckets (vectorized; operates
-    only on rows that still have empties)."""
+    only on rows that still have empties). All-sentinel rows (null/empty
+    input — the caller emits them as None) are excluded: they can never
+    densify and would otherwise force the full k-1 rotation sweep on
+    every batch containing one."""
     with np.errstate(over="ignore"):
-        empty_rows = np.nonzero((sig == _EMPTY_SENTINEL).any(axis=1))[0]
+        has_empty = (sig == _EMPTY_SENTINEL).any(axis=1)
+        has_value = (sig != _EMPTY_SENTINEL).any(axis=1)
+        empty_rows = np.nonzero(has_empty & has_value)[0]
         if len(empty_rows) == 0:
             return sig
         sub = sig[empty_rows]

@@ -134,6 +134,21 @@ def connected_components(
             nodes_n.join(labels, "id", "left")
             .select("id", F.coalesce("cluster_id", "id").alias("cluster_id"))
         )
+    else:
+        # no universe given: nodes whose ONLY edge was a self-loop were
+        # dropped by the entry u != v filter and are absent from the
+        # fixpoint — restore them as singletons. Only the self-loop
+        # subset (normally empty/tiny) is shuffled, not the edge set.
+        selfs = (
+            edges.where(F.col(edges.columns[0]) == F.col(edges.columns[1]))
+            .select(F.col(edges.columns[0]).alias("id"))
+            .distinct()
+        )
+        labels = labels.unionByName(
+            selfs.join(labels, "id", "left_anti").withColumn(
+                "cluster_id", F.col("id")
+            )
+        )
     return labels
 
 

@@ -114,6 +114,17 @@ class FieldSpec:
     cut_full: float = CUT_FULL
     cut_partial: float | None = CUT_PARTIAL
 
+    def possible_levels(self) -> list[int]:
+        """The complete gamma-level universe this spec can emit (null
+        excluded). Lets a sample-based EM fit (emlinkRS) model levels
+        the sample happened to miss instead of silently treating them
+        as MAR-missing at apply time."""
+        if self.kind in ("exact", "string2", "soundex"):
+            return [0, 2]
+        if self.kind in ("string", "levenshtein", "dl", "numeric"):
+            return [0, 1, 2] if self.cut_partial is not None else [0, 2]
+        raise ValueError(f"unknown field kind: {self.kind}")
+
     def gamma(self) -> Column:
         a, b = F.col(f"a_{self.name}"), F.col(f"b_{self.name}")
         if self.kind == "exact":

@@ -100,10 +100,22 @@ def ivf_topk(
     )
     if refine_iters > 0:
         spark = corpus.sparkSession
-        first = v.select("vec").first()
+        # dimension from the first NON-NULL vector; empty corpus / all
+        # nulls -> skip refinement entirely (the groupBy().agg() below
+        # would reject an empty expression list, and there is nothing
+        # to refine)
+        first = v.where(F.col("vec").isNotNull()).select("vec").first()
         d = len(first["vec"]) if first is not None else 0
-        cent_map = {r["cell"]: [float(x) for x in r["cvec"]] for r in cent.collect()}
-        cell_type = dict(cent.dtypes)["cell"]
+        if d == 0:
+            refine_iters = 0
+        cent_map = {
+            r["cell"]: [float(x) for x in r["cvec"]]
+            for r in cent.collect()
+            if r["cvec"] is not None
+        }
+        cell_type = dict(cent.dtypes)["cell"] if cent_map else "long"
+        if not cent_map:
+            refine_iters = 0
         for _ in range(refine_iters):
             cdf = spark.createDataFrame(
                 list(cent_map.items()), f"cell {cell_type}, cvec array<double>"

@@ -318,8 +318,27 @@ def link_dedupe(
     if em_json is not None:
         em = em_mod.EMResult.from_json(em_json)
     else:
+        # sample-fit mode must model the COMPLETE level universe: a rare
+        # agreement level absent from the sample would otherwise be
+        # scored as MAR-missing on the full table — dropping the
+        # field's evidence exactly on the rarest (most informative)
+        # patterns. Full-fit mode keeps data-derived levels (identical
+        # behavior and fits to every prior round).
+        sampled = cfg.sample_fraction is not None
         em = em_mod.emlink_mar(
-            fit_patterns, gcols, p_m=cfg.p_m, tol=cfg.tol, iter_max=cfg.iter_max
+            fit_patterns,
+            gcols,
+            p_m=cfg.p_m,
+            tol=cfg.tol,
+            iter_max=cfg.iter_max,
+            level_universe=(
+                {f"gamma_{f.name}": f.possible_levels() for f in fields}
+                if sampled
+                else None
+            ),
+            # one pseudo-pair so a universe level with zero sample
+            # counts keeps the init's level ordering as evidence
+            dirichlet_w=1.0 if sampled else 0.0,
         )
         ckpt.put_json(em_key, em.to_json())
 

@@ -642,3 +642,106 @@ def test_incremental_wide_rec_id_merge(spark, tmp_path):
     assert len(ents) == 3
     assert len({r["cluster_id"] for r in ents}) == 1
     assert all(isinstance(r["cluster_id"], str) and len(r["cluster_id"]) == 32 for r in ents)
+
+
+# ----------------- core-operator review fixes (r4 pass 3)
+
+def test_em_sample_fit_unseen_level_keeps_evidence():
+    """emlinkRS hazard: a level absent from the fit sample must not be
+    scored as MAR-missing at apply time. With level_universe +
+    dirichlet_w, an unseen full-agreement level scores HIGHER than both
+    a missing field and the disagreement level."""
+    import pandas as pd
+
+    from fastlink_spark.em import apply_em, emlink_mar
+
+    # sample saw only levels {0, 1} on g1 (never the rare full-agree 2)
+    sample = pd.DataFrame(
+        {"g1": [0, 1, 0, 1], "g2": [0, 2, 2, 0], "cnt": [900, 40, 50, 60]}
+    )
+    em = emlink_mar(
+        sample,
+        ["g1", "g2"],
+        level_universe={"g1": [0, 1, 2], "g2": [0, 2]},
+        dirichlet_w=1.0,
+    )
+    assert em.levels["g1"] == [0, 1, 2]
+    full = pd.DataFrame(
+        {"g1": [2, None, 1, 0], "g2": [2, 2, 2, 2], "cnt": [1, 1, 1, 1]}
+    )
+    z = apply_em(full, em)
+    zs = {(r["g1"], r["g2"]): r["zeta"] for _, r in z.iterrows()}
+    assert zs[(2, 2)] > zs[(None, 2)]  # unseen agreement beats missing
+    assert zs[(2, 2)] > zs[(0, 2)]  # and beats disagreement
+    # without the universe, the unseen level IS scored as missing
+    em0 = emlink_mar(sample, ["g1", "g2"])
+    z0 = apply_em(full, em0)
+    zs0 = {(r["g1"], r["g2"]): r["zeta"] for _, r in z0.iterrows()}
+    assert zs0[(2, 2)] == pytest.approx(zs0[(None, 2)])
+
+
+def test_apply_em_empty_pattern_table():
+    import pandas as pd
+
+    from fastlink_spark.em import apply_em, emlink_mar
+
+    em = emlink_mar(pd.DataFrame({"g1": [0, 2], "cnt": [90, 10]}), ["g1"])
+    out = apply_em(pd.DataFrame({"g1": [], "cnt": []}), em)
+    assert len(out) == 0 and "zeta" in out.columns
+
+
+def test_cc_self_loop_only_node_is_singleton(spark):
+    from fastlink_spark.operators.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [(7, 7), (1, 2)], "u long, v long"
+    )
+    out = {(r["id"], r["cluster_id"]) for r in connected_components(edges).collect()}
+    assert out == {(7, 7), (1, 1), (2, 1)}
+
+
+def test_ivf_refine_empty_and_null_corpus(spark):
+    from fastlink_spark.operators.similarity import ivf_topk
+
+    empty = spark.createDataFrame([], "doc_id long, vec array<double>")
+    q = spark.createDataFrame([(1, [1.0, 0.0])], "doc_id long, vec array<double>")
+    assert ivf_topk(empty, q, "doc_id", "vec", k=3, n_cells=4, refine_iters=2).count() == 0
+    nulls = spark.createDataFrame([(9, None)], "doc_id long, vec array<double>")
+    # null-vec corpus: no crash (len(None) previously raised)
+    assert ivf_topk(nulls, q, "doc_id", "vec", k=3, n_cells=4, refine_iters=1).count() == 0
+
+
+def test_simhash_single_table_full_width(spark):
+    """n_tables=1 at bits=64: the last-slice mask spans the full word —
+    (1<<64)-1 overflowed a Java long before the -1 two's-complement fix."""
+    from fastlink_spark.operators.dedup import simhash_pairs_multi
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta " * 4), (2, "alpha beta gamma delta " * 4),
+         (3, "totally different words here")],
+        "doc_id long, text string",
+    )
+    out = simhash_pairs_multi(docs, "doc_id", "text", n_tables=1, max_hamming=0)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(1, 2)}
+
+
+def test_embedding_plane_count_validated(spark):
+    from fastlink_spark.operators.dedup import embedding_dup_pairs
+
+    emb = spark.createDataFrame([(1, [1.0, 0.0])], "doc_id long, vec array<double>")
+    with pytest.raises(ValueError, match="HYPERPLANE"):
+        embedding_dup_pairs(emb, "doc_id", "vec", n_buckets_hint=1024)
+
+
+def test_exact_dup_groups_capped_members(spark):
+    from fastlink_spark.operators.dedup import exact_dup_groups
+
+    docs = spark.createDataFrame(
+        [(i, "same text") for i in range(10)] + [(100, "unique")],
+        "doc_id long, text string",
+    )
+    out = exact_dup_groups(docs, "doc_id", "text", max_ids=3).collect()
+    assert len(out) == 1
+    assert out[0]["n_dups"] == 10  # count stays exact
+    assert out[0]["doc_ids"] == [0, 1, 2]  # members capped, deterministic
