@@ -76,6 +76,25 @@ class EMResult:
         )
 
 
+def normalize_gamma_nulls(patt: pd.DataFrame, gamma_cols: list[str]) -> pd.DataFrame:
+    """Normalize every null representation (NaN/pd.NA/None) to Python
+    None, values to int, IN PLACE on a copy the caller owns. The
+    dtype=object Series rebuild is load-bearing: a bare list of
+    ints+None would be re-coerced by pandas to float64, turning None
+    back into NaN and leaking a phantom NaN 'level' into the model.
+    ONE definition shared by emlink_mar / apply_em / emlink_log (three
+    verbatim copies previously — the exact bug class the comment warns
+    about would have to be re-fixed per copy)."""
+    for c in gamma_cols:
+        col = patt[c].astype(object).where(pd.notna(patt[c]), None)
+        patt[c] = pd.Series(
+            [None if v is None else int(v) for v in col],
+            dtype=object,
+            index=patt.index,
+        )
+    return patt
+
+
 def _level_masks(
     patt: pd.DataFrame, gamma_cols: list[str], levels: dict[str, list[int]]
 ) -> dict[str, list[np.ndarray]]:
@@ -157,18 +176,7 @@ def emlink_mar(
     real counts swamp the pseudo-count wherever they exist. Negligible
     when every level is observed.
     """
-    patt = patterns.copy()
-    # normalize null representations to Python None
-    for c in gamma_cols:
-        patt[c] = patt[c].astype(object).where(pd.notna(patt[c]), None)
-        # dtype=object is load-bearing: a bare list of ints+None would be
-        # re-coerced by pandas to float64, turning None back into NaN and
-        # leaking a phantom NaN 'level' into the model
-        patt[c] = pd.Series(
-            [None if v is None else int(v) for v in patt[c]],
-            dtype=object,
-            index=patt.index,
-        )
+    patt = normalize_gamma_nulls(patterns.copy(), gamma_cols)
     n = patt["cnt"].to_numpy(dtype=np.float64)
     N = n.sum()
     if N <= 0:
@@ -277,16 +285,7 @@ def apply_em(patterns: pd.DataFrame, em: EMResult) -> pd.DataFrame:
     if len(patt) == 0:
         patt["zeta"] = pd.Series([], dtype=np.float64)
         return patt
-    for c in em.gamma_cols:
-        patt[c] = patt[c].astype(object).where(pd.notna(patt[c]), None)
-        # dtype=object is load-bearing: a bare list of ints+None would be
-        # re-coerced by pandas to float64, turning None back into NaN and
-        # leaking a phantom NaN 'level' into the model
-        patt[c] = pd.Series(
-            [None if v is None else int(v) for v in patt[c]],
-            dtype=object,
-            index=patt.index,
-        )
+    patt = normalize_gamma_nulls(patt, em.gamma_cols)
     fm = _class_lik(patt, em.gamma_cols, em.levels, em.m)
     fu = _class_lik(patt, em.gamma_cols, em.levels, em.u)
     wm = em.lam * fm

@@ -104,6 +104,7 @@ def emlink_log(
     iter_max: int = 200,
     ipf_iters: int = 20,
     interactions: list[tuple[str, ...]] | None = None,
+    level_universe: dict[str, list[int]] | None = None,
 ) -> pd.DataFrame:
     """Fit the interaction EM; returns the observed pattern table with
     'zeta' plus attrs (lam, iterations, converged) in ``.attrs``.
@@ -111,22 +112,30 @@ def emlink_log(
     ``interactions``: log-linear generating class as field-name tuples
     (pairs, triples, …, up to the saturated set) — the reference's
     richer ``cond.indep=FALSE`` structures. None = all two-way pairs
-    (the default model this module always had)."""
-    patt = patterns.copy()
-    for c in gamma_cols:
-        patt[c] = patt[c].astype(object).where(pd.notna(patt[c]), None)
-        # dtype=object is load-bearing: a bare list of ints+None would be
-        # re-coerced by pandas to float64, turning None back into NaN and
-        # leaking a phantom NaN 'level' into the model
-        patt[c] = pd.Series(
-            [None if v is None else int(v) for v in patt[c]],
-            dtype=object,
-            index=patt.index,
-        )
+    (the default model this module always had).
+
+    ``level_universe``: complete per-field level sets for sample fits
+    (same contract as em.emlink_mar — a level absent from the fit
+    sample must still have a grid cell, or applying the fit to the
+    full table mis-scores it)."""
+    from .em import normalize_gamma_nulls
+
+    patt = normalize_gamma_nulls(patterns.copy(), gamma_cols)
     n = patt["cnt"].to_numpy(dtype=np.float64)
     N = n.sum()
+    if N <= 0:
+        # match emlink_mar's contract — silently returning NaN zetas
+        # (the pre-r4 behavior) propagates NaN downstream
+        raise ValueError("empty pattern table")
 
-    levels = {c: sorted({v for v in patt[c] if v is not None}) or [0] for c in gamma_cols}
+    levels = {
+        c: sorted(
+            {v for v in patt[c] if v is not None}
+            | set((level_universe or {}).get(c, []))
+        )
+        or [0]
+        for c in gamma_cols
+    }
     shape = tuple(len(levels[c]) for c in gamma_cols)
     grid = np.array(list(itertools.product(*[range(s) for s in shape])))  # level indices
     G = len(grid)

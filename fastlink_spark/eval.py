@@ -16,7 +16,13 @@ from pyspark.sql import functions as F
 def pairwise_f1(
     entities: DataFrame, labeled_pairs: DataFrame, key_col: str = "url"
 ) -> dict:
-    """entities: (url, cluster_id); labeled_pairs: (url_a, url_b, is_match)."""
+    """entities: (url, cluster_id); labeled_pairs: (url_a, url_b, is_match).
+
+    LEFT joins, not inner: a labeled record the pipeline lost (e.g. no
+    block keys) must count as predicted-non-match for every pair it is
+    in (fn when is_match) — an inner join would silently shrink the
+    evaluation denominator and inflate the gate exactly when records go
+    missing."""
     ea = entities.select(
         F.col(key_col).alias("url_a"), F.col("cluster_id").alias("ca")
     )
@@ -24,9 +30,14 @@ def pairwise_f1(
         F.col(key_col).alias("url_b"), F.col("cluster_id").alias("cb")
     )
     j = (
-        labeled_pairs.join(ea, "url_a", "inner")
-        .join(eb, "url_b", "inner")
-        .withColumn("pred", F.col("ca") == F.col("cb"))
+        labeled_pairs.join(ea, "url_a", "left")
+        .join(eb, "url_b", "left")
+        .withColumn(
+            "pred",
+            F.col("ca").isNotNull()
+            & F.col("cb").isNotNull()
+            & (F.col("ca") == F.col("cb")),
+        )
     )
     agg = j.agg(
         F.sum((F.col("pred") & F.col("is_match")).cast("long")).alias("tp"),

@@ -178,8 +178,10 @@ def dedupe_matches(
     remaining = mat(pairs.select(id_a, id_b, score), "greedy_remaining")
     accepted: DataFrame | None = None
 
+    exhausted = True
     for _ in range(max_rounds):
         if remaining.isEmpty():
+            exhausted = False
             break
         wa = Window.partitionBy(id_a).orderBy(F.desc(score), F.asc(id_b))
         wb = Window.partitionBy(id_b).orderBy(F.desc(score), F.asc(id_a))
@@ -191,6 +193,7 @@ def dedupe_matches(
         )
         mutual = mat(mutual, "greedy_mutual")
         if mutual.isEmpty():
+            exhausted = False
             break
         # Roll the accumulated union through a retained cut every round:
         # `accepted` only ever references the NEWEST 'greedy_accepted'
@@ -213,6 +216,36 @@ def dedupe_matches(
             .join(used.withColumnRenamed("uid", id_b), id_b, "left_anti")
             .select(id_a, id_b, score),
             "greedy_remaining",
+        )
+
+    if exhausted and not remaining.isEmpty():
+        # Dependency chains longer than max_rounds accept one pair per
+        # round; dropping the viable remainder would silently diverge
+        # from sequential greedy. Finish the (by now small) residue
+        # exactly: per-component applyInPandas sequential greedy —
+        # identical semantics, one pass, bounded by component size.
+        from .cluster import connected_components
+
+        comp = connected_components(
+            remaining.select(id_a, id_b), materializer=materializer
+        )
+        tagged = remaining.join(
+            comp.select(F.col("id").alias(id_a), F.col("cluster_id").alias("__comp")),
+            id_a,
+        )
+        out_schema = remaining.schema
+
+        def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _solve_block_greedy(
+                pdf.drop(columns=["__comp"]), id_a, id_b, score
+            )
+
+        tail = mat(
+            tagged.groupBy("__comp").applyInPandas(solve, schema=out_schema),
+            "greedy_tail",
+        )
+        accepted = (
+            tail if accepted is None else mat(accepted.unionByName(tail), "greedy_accepted")
         )
 
     if accepted is None:

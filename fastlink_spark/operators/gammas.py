@@ -114,14 +114,28 @@ class FieldSpec:
     cut_full: float = CUT_FULL
     cut_partial: float | None = CUT_PARTIAL
 
+    def _numeric_partial(self) -> float | None:
+        """Numeric cuts are DISTANCE windows (partial must be WIDER
+        than full — the opposite ordering of similarity cuts), so the
+        shared cut_partial default (0.88, a JW threshold) would make
+        level 1 unreachable for any cut_full >= 0.88. Treat a partial
+        window not strictly wider than full as 'no partial level'."""
+        if self.cut_partial is not None and self.cut_partial > self.cut_full:
+            return self.cut_partial
+        return None
+
     def possible_levels(self) -> list[int]:
         """The complete gamma-level universe this spec can emit (null
         excluded). Lets a sample-based EM fit (emlinkRS) model levels
         the sample happened to miss instead of silently treating them
-        as MAR-missing at apply time."""
+        as MAR-missing at apply time — and must advertise NO phantom
+        levels (a universe level that can never occur would soak up
+        Dirichlet pseudo-count mass for nothing)."""
         if self.kind in ("exact", "string2", "soundex"):
             return [0, 2]
-        if self.kind in ("string", "levenshtein", "dl", "numeric"):
+        if self.kind == "numeric":
+            return [0, 1, 2] if self._numeric_partial() is not None else [0, 2]
+        if self.kind in ("string", "levenshtein", "dl"):
             return [0, 1, 2] if self.cut_partial is not None else [0, 2]
         raise ValueError(f"unknown field kind: {self.kind}")
 
@@ -140,7 +154,7 @@ class FieldSpec:
         if self.kind == "soundex":
             return gamma_soundex(a, b)
         if self.kind == "numeric":
-            return gamma_numeric(a, b, self.cut_full, self.cut_partial)
+            return gamma_numeric(a, b, self.cut_full, self._numeric_partial())
         raise ValueError(f"unknown field kind: {self.kind}")
 
 

@@ -69,8 +69,13 @@ def name_reweight(
     m_agree = em.m[gcol][em.levels[gcol].index(agree_level)]
     freqs = value_frequencies(records, field).withColumnRenamed("value", f"a_{field}")
 
+    # unhinted like the m_v join below: freqs has one row per distinct
+    # field value — tiny for first names, possibly millions for titles
+    # at web scale, so AQE picks broadcast vs shuffle by measured size
+    # (a forced broadcast would OOM exactly the high-cardinality case
+    # this operator documents as safe)
     agreeing = pairs_with_zeta.where(F.col(gcol) == agree_level).join(
-        F.broadcast(freqs), f"a_{field}", "left"
+        freqs, f"a_{field}", "left"
     )
     # odds form: zeta = o/(1+o) with o = lam/(1-lam) * prod(m/u);
     # swap the field's u[agree] for p_v^2 => multiply odds by u_agree/p_v^2

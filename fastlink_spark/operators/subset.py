@@ -36,9 +36,13 @@ def window_block_keys(value: Column, window_size: float, prefix: str = "w") -> C
 
 def window_blocks(df: DataFrame, value_col: str, window_size: float, id_col: str) -> DataFrame:
     """(id, value) -> exploded (block_key, id) rows under overlapping
-    numeric windows; feed into operators.pairs.candidate_pairs. The
-    bucket side uses the row's OWN bucket only for one side to avoid
-    triple-duplicate pairs — pair dedupe handles the rest (O2)."""
+    numeric windows; feed into operators.pairs.candidate_pairs. Every
+    row lands in its own bucket b plus b±1, so a qualifying pair
+    co-occurs in up to 3 cells and is de-duplicated downstream (O2:
+    candidate_pairs' dropDuplicates). A one-sided own-bucket-only
+    explode would cut that 3x candidate duplication but only applies to
+    two-TABLE joins — a self-join needs both rows co-located in the
+    same cell, so the symmetric explode is the correct shape here."""
     return df.select(
         F.explode(window_block_keys(F.col(value_col), window_size)).alias("block_key"),
         F.col(id_col),

@@ -69,22 +69,13 @@ def link_records(
     em = em_mod.emlink_mar(patt, gcols, p_m=p_m, tol=tol, iter_max=iter_max)
     scored_patterns = em_mod.apply_em(patt, em)
 
-    import pandas as pd
+    # the SHARED matched-pair rule (plans.pipeline) — an inline copy
+    # here had already drifted from the pipeline's version once
+    from .pipeline import matched_from_zeta, zeta_pattern_df
 
-    zrows = [
-        tuple(None if pd.isna(r[c]) else int(r[c]) for c in gcols) + (float(r["zeta"]),)
-        for _, r in scored_patterns.iterrows()
-    ]
-    zschema = ", ".join(f"{c} int" for c in gcols) + ", zeta double"
-    zdf = spark.createDataFrame(zrows, zschema)
-    cond = None
-    for c in gcols:
-        eq = scored[c].eqNullSafe(zdf[c])
-        cond = eq if cond is None else (cond & eq)
-    matched = (
-        scored.join(F.broadcast(zdf), cond, "inner")
-        .where(F.col("zeta") >= threshold)
-        .select(f"a_{id_col}", f"b_{id_col}", "zeta")
+    zdf = zeta_pattern_df(spark, scored_patterns, gcols)
+    matched = matched_from_zeta(
+        scored, zdf, gcols, id_a=f"a_{id_col}", id_b=f"b_{id_col}", threshold=threshold
     )
     if one_to_one:
         matched = dedupe_matches(

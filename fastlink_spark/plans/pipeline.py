@@ -169,42 +169,53 @@ def zeta_pattern_df(
 
 
 def matched_from_zeta(
-    scored: DataFrame, zeta_df: DataFrame, gcols: list[str], cfg: LinkageConfig
+    scored: DataFrame,
+    zeta_df: DataFrame,
+    gcols: list[str],
+    cfg: "LinkageConfig | None" = None,
+    *,
+    id_a: str = "a_rec_id",
+    id_b: str = "b_rec_id",
+    threshold: float | None = None,
+    deterministic_fields: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """THE matched-pair rule — one definition shared by the batch
-    pipeline, the incremental linker, and state compaction (divergence
-    between them silently splits/merges clusters differently per path):
-    null-safe broadcast zeta join + FS threshold, then the
-    cfg.deterministic_fields exact-match pass accepted regardless of
-    zeta, duplicates resolved to max(zeta) for a byte-stable pair
-    list."""
+    pipeline, the incremental linker, state compaction, and the
+    two-table link_records path (divergence between them silently
+    splits/merges clusters differently per path): null-safe broadcast
+    zeta join + FS threshold, then the deterministic-fields exact-match
+    pass accepted regardless of zeta, duplicates resolved to max(zeta)
+    for a byte-stable pair list. Pass a cfg (dedupe pipeline) or the
+    explicit threshold/deterministic_fields knobs (two-table mode)."""
+    thr = cfg.threshold if cfg is not None else threshold
+    det_fields = (
+        cfg.deterministic_fields if cfg is not None else (deterministic_fields or ())
+    )
     cond = None
     for c in gcols:
         eq = scored[c].eqNullSafe(zeta_df[c])
         cond = eq if cond is None else (cond & eq)
     fs = (
         scored.join(F.broadcast(zeta_df), cond, "inner")
-        .where(F.col("zeta") >= cfg.threshold)
-        .select("a_rec_id", "b_rec_id", "zeta")
+        .where(F.col("zeta") >= thr)
+        .select(id_a, id_b, "zeta")
     )
-    if cfg.deterministic_fields:
+    if det_fields:
         det_cond = None
-        for f in cfg.deterministic_fields:
+        for f in det_fields:
             eq = (
                 F.col(f"a_{f}").isNotNull()
                 & F.col(f"b_{f}").isNotNull()
                 & (F.col(f"a_{f}") == F.col(f"b_{f}"))
             )
             det_cond = eq if det_cond is None else (det_cond & eq)
-        det = scored.where(det_cond).select(
-            "a_rec_id", "b_rec_id", F.lit(1.0).alias("zeta")
-        )
+        det = scored.where(det_cond).select(id_a, id_b, F.lit(1.0).alias("zeta"))
         # max(zeta), not dropDuplicates: a pair passing BOTH the FS
         # threshold and the deterministic pass must resolve to the
         # same zeta every run (byte-stable matched_pairs output).
         fs = (
             fs.unionByName(det)
-            .groupBy("a_rec_id", "b_rec_id")
+            .groupBy(id_a, id_b)
             .agg(F.max("zeta").alias("zeta"))
         )
     return fs

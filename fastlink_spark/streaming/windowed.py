@@ -121,11 +121,21 @@ def streaming_exact_dedup(
     """Stateful streaming exact-dedup via applyInPandasWithState: emit
     each distinct `hash_col` ONCE (the min `id_col` of its first
     micro-batch); later occurrences — same batch or any later batch —
-    are dropped. State per hash is a single counter."""
+    are dropped. State per hash is a single counter.
+
+    Output/state types follow the INPUT schema (id/hash may be long
+    64-bit keys or the wide 128-bit hex STRING keys the pipeline
+    recommends at 10^12 docs — hardcoded LongType would fail the
+    streaming query at the Arrow boundary for string ids)."""
+    in_fields = {f.name: f.dataType for f in stream.schema.fields}
     out_type = StructType(
-        [StructField(id_col, LongType()), StructField(hash_col, LongType())]
+        [
+            StructField(id_col, in_fields[id_col]),
+            StructField(hash_col, in_fields[hash_col]),
+        ]
     )
     state_type = StructType([StructField("seen", LongType())])
+    id_is_long = in_fields[id_col].typeName() in ("long", "integer", "short")
 
     def dedupe(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -138,7 +148,7 @@ def streaming_exact_dedup(
             n += len(pdf)
             batch_min = pdf[id_col].min()
             if first_id is None or batch_min < first_id:
-                first_id = int(batch_min)
+                first_id = int(batch_min) if id_is_long else batch_min
         state.update((seen + n,))
         if seen == 0 and first_id is not None:
             yield pd.DataFrame({id_col: [first_id], hash_col: [h]})

@@ -745,3 +745,115 @@ def test_exact_dup_groups_capped_members(spark):
     assert len(out) == 1
     assert out[0]["n_dups"] == 10  # count stays exact
     assert out[0]["doc_ids"] == [0, 1, 2]  # members capped, deterministic
+
+
+# ----------------- review pass 4 fixes
+
+def test_greedy_long_chain_exceeds_max_rounds(spark):
+    """A dependency chain longer than max_rounds must NOT silently drop
+    its tail: the residual per-component greedy finishes it with exact
+    sequential-greedy semantics."""
+    from fastlink_spark.operators.dedupe_matches import dedupe_matches
+
+    rows = []
+    # chain: (a_i, b_i) score decreasing; (a_{i+1}, b_i) just below —
+    # sequential greedy accepts every (a_i, b_i), one per round
+    for i in range(8):
+        rows.append((i, i, 0.99 - 0.02 * i))
+        if i < 7:
+            rows.append((i + 1, i, 0.98 - 0.02 * i))
+    pairs = spark.createDataFrame(rows, "a_rec_id long, b_rec_id long, zeta double")
+    full = {
+        (r["a_rec_id"], r["b_rec_id"])
+        for r in dedupe_matches(pairs, max_rounds=50).collect()
+    }
+    capped = {
+        (r["a_rec_id"], r["b_rec_id"])
+        for r in dedupe_matches(pairs, max_rounds=3).collect()
+    }
+    assert full == {(i, i) for i in range(8)}
+    assert capped == full  # tail finished, not dropped
+
+
+def test_numeric_fieldspec_default_partial_not_phantom():
+    """kind='numeric' with the shared cut_partial default (0.88 < any
+    real distance window) must collapse to a 2-level ladder — level 1
+    was unreachable, and possible_levels advertising it would soak
+    Dirichlet pseudo-mass for a phantom cell."""
+    from fastlink_spark.operators.gammas import FieldSpec
+
+    f = FieldSpec("age", kind="numeric", cut_full=5.0)
+    assert f.possible_levels() == [0, 2]
+    g = FieldSpec("age", kind="numeric", cut_full=5.0, cut_partial=10.0)
+    assert g.possible_levels() == [0, 1, 2]
+
+
+def test_numeric_gamma_wider_partial(spark):
+    from fastlink_spark.operators.gammas import FieldSpec, with_gammas
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 30.0, 33.0), (3, 4, 30.0, 38.0), (5, 6, 30.0, 50.0)],
+        "a_rec_id long, b_rec_id long, a_age double, b_age double",
+    )
+    out = {
+        r["a_rec_id"]: r["gamma_age"]
+        for r in with_gammas(
+            pairs, [FieldSpec("age", kind="numeric", cut_full=5.0, cut_partial=10.0)]
+        ).collect()
+    }
+    assert out == {1: 2, 3: 1, 5: 0}
+
+
+def test_emlinklog_empty_raises():
+    import pandas as pd
+    import pytest as _pytest
+
+    from fastlink_spark.em_log import emlink_log
+
+    with _pytest.raises(ValueError, match="empty pattern table"):
+        emlink_log(pd.DataFrame({"g1": [], "cnt": []}), ["g1"])
+
+
+def test_pairwise_f1_counts_lost_records(spark):
+    """A labeled record absent from entities must count as
+    predicted-non-match (fn when is_match), not silently vanish from
+    the denominator."""
+    from fastlink_spark.eval import pairwise_f1
+
+    entities = spark.createDataFrame(
+        [("u1", 1), ("u2", 1)], "url string, cluster_id long"
+    )
+    labeled = spark.createDataFrame(
+        [("u1", "u2", True), ("u1", "u3", True), ("u2", "u3", False)],
+        "url_a string, url_b string, is_match boolean",
+    )
+    m = pairwise_f1(entities, labeled)
+    # u3 lost: (u1,u3) -> fn; (u2,u3) -> tn; (u1,u2) -> tp
+    assert (m["tp"], m["fp"], m["fn"], m["tn"]) == (1, 0, 1, 1)
+
+
+def test_streaming_dedup_string_ids(spark, tmp_path):
+    """streaming_exact_dedup with wide hex STRING ids — output/state
+    schemas must follow the input types (LongType was hardcoded)."""
+    from fastlink_spark.streaming.windowed import streaming_exact_dedup
+
+    src = tmp_path / "in"
+    spark.createDataFrame(
+        [("aa" * 16, 7), ("bb" * 16, 7), ("cc" * 16, 9)],
+        "doc_id string, text_hash long",
+    ).write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id string, text_hash long").parquet(str(src))
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_str_ids")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["doc_id"], r["text_hash"])
+        for r in spark.sql("select * from dedup_str_ids").collect()
+    }
+    assert rows == {("aa" * 16, 7), ("cc" * 16, 9)}
