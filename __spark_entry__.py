@@ -782,17 +782,34 @@ _Q03_PATTERN_SQL = (
 )
 
 
+_FITTED_CACHE: dict[str, dict] = {}
+
+
 def _fitted_oracles() -> dict[str, str]:
     """q17/q27 oracles are built at call time: compute the pattern table
     in DuckDB from the same parquet, run the IDENTICAL deterministic fit
     (_fit_em), and inject the fitted values as SQL literals — the
     oracles then check the distributed pattern aggregation AND the
-    pattern->zeta / reweighted-zeta identities."""
+    pattern->zeta / reweighted-zeta identities.
+
+    The fit/kernel sweeps run ONCE per sf dir (cached): a parametrized
+    harness calling oracle_sql() per query would otherwise redo the
+    DuckDB pair joins + EM + JW/OSA sweeps + k-means twin 31x.
+
+    NOTE the sf-dir contract: these literal oracles are fitted on
+    SPARK_GRAFT_ORACLE_SF_DIR (default sf0.01 — the dir the driver's
+    correctness harness binds its views to). Running the oracle SQL
+    against views over a DIFFERENT sf dir without exporting the env var
+    mismatches literals vs data by construction.
+    """
     import os
 
     import duckdb
 
     sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    cached = _FITTED_CACHE.get(sf)
+    if cached is not None:
+        return dict(cached)
     con = duckdb.connect()
     patt = con.execute(
         _Q03_PATTERN_SQL.format(docs=f"read_parquet('{sf}/documents.parquet')")
@@ -1046,13 +1063,23 @@ def _fitted_oracles() -> dict[str, str]:
             f"SELECT doc_id, CAST(list_position({dlist}, list_min({dlist})) - 1 AS INTEGER) AS cluster "
             "FROM d"
         )
+    _FITTED_CACHE[sf] = dict(out)
     return out
 
 
 def _q17_entry() -> dict[str, str]:
     try:
         return _fitted_oracles()
-    except Exception:
+    except Exception as e:  # degrade to rows-only checks, but LOUDLY —
+        # a silent {} would let a regression in the fit/kernel twins
+        # masquerade as 31/31 green while six hard oracles never ran
+        import sys
+
+        print(
+            f"WARNING: fitted oracles unavailable, q17/q27/q28/q29/q30/q31 "
+            f"degrade to rows-only checks: {e!r}",
+            file=sys.stderr,
+        )
         return {}
 
 
@@ -1096,7 +1123,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q08_sessionization": (
             "WITH g AS (SELECT user_id, event_id, "
-            " CAST(epoch(ts) AS BIGINT) - lag(CAST(epoch(ts) AS BIGINT)) OVER "
+            " CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER "
             "   (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap FROM events) "
             "SELECT user_id, CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions, "
             " count(*) AS n_events FROM g GROUP BY 1"

@@ -22,13 +22,18 @@ import os
 import sys
 import time
 
+_scratch_dirs: list = []
+
+
+def _track(d: str) -> str:
+    _scratch_dirs.append(d)
+    return d
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_base = int(os.environ.get("BENCH_PAGES_NBASE", "4000"))
-
-    from pyspark.sql import functions as F
 
     import __spark_entry__ as entry_mod
     from fastlink_spark.operators import gammas
@@ -83,7 +88,7 @@ def main() -> None:
     # +default localCheckpoint 132-145 s (block-store lock/GC contention).
     import tempfile
 
-    pairs_dir = os.path.join(tempfile.mkdtemp(prefix="flbench_"), "pairs")
+    pairs_dir = os.path.join(_track(tempfile.mkdtemp(prefix="flbench_")), "pairs")
     t = time.time()
     cand_stage = candidate_pairs(
         _blocked_records(records, cfg),
@@ -101,7 +106,7 @@ def main() -> None:
     # threads (measured 132-145 s deserialized / 60.8 s DISK_ONLY vs
     # 45.5 s parquet at 32 cores), and on a real cluster the parquet
     # (Iceberg) checkpoint is the fault-tolerant production shape anyway
-    rep_dir = os.path.join(tempfile.mkdtemp(prefix="flbench_"), "pairs_rep")
+    rep_dir = os.path.join(_track(tempfile.mkdtemp(prefix="flbench_")), "pairs_rep")
     spark.read.parquet(pairs_dir).repartition(cpus * 4).write.mode("overwrite").parquet(rep_dir)
     cand = spark.read.parquet(rep_dir)
     queries["pairs_materialize"] = round(time.time() - t, 3)
@@ -130,7 +135,7 @@ def main() -> None:
 
     # e2e in PRODUCTION shape: parquet checkpoint per stage (an Iceberg
     # table on a real cluster); fresh dir => no resume, full recompute
-    e2e_cfg = LinkageConfig(checkpoint_dir=tempfile.mkdtemp(prefix="flbench_e2e_"))
+    e2e_cfg = LinkageConfig(checkpoint_dir=_track(tempfile.mkdtemp(prefix="flbench_e2e_")))
     t = time.time()
     res = link_dedupe(spark, pages, e2e_cfg)
     res.entities.count()
@@ -143,7 +148,7 @@ def main() -> None:
     # reps affordable.
     if os.environ.get("BENCH_WIDE_E2E", "1") == "1":
         wide_cfg = LinkageConfig(
-            wide_rec_id=True, checkpoint_dir=tempfile.mkdtemp(prefix="flbench_wide_")
+            wide_rec_id=True, checkpoint_dir=_track(tempfile.mkdtemp(prefix="flbench_wide_"))
         )
         t = time.time()
         res_w = link_dedupe(spark, pages, wide_cfg)
@@ -181,6 +186,11 @@ def main() -> None:
     ).count()
     queries["simhash_dedup"] = round(time.time() - t, 3)
 
+    import shutil
+
+    for d in _scratch_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+
     out = {
         "metric": "candidate_pairs_scored_per_sec",
         "value": round(pairs_per_sec, 1),
@@ -192,7 +202,6 @@ def main() -> None:
         "n_candidate_pairs": n_pairs,
         "total_sec": round(time.time() - t0_all, 3),
     }
-    _ = F  # imported for side effects in doctests; keep linters calm
     print(json.dumps(out))
     sys.stdout.flush()
 

@@ -27,8 +27,9 @@ def get_spark(
       (BASELINE.json input_hint: "no per-row Python").
     - AQE on with skew-join backstop: primary skew handling is explicit
       salting (operators/pairs.py), AQE is the safety net (SURVEY.md X5).
-    - shuffle.partitions defaults to core count locally; on a real
-      cluster set it to 2-3x total executor cores via --conf.
+    - shuffle.partitions defaults to DEFAULT_SHUFFLE_PARTITIONS (32)
+      unless overridden; on a real cluster set it to 2-3x total
+      executor cores via --conf (bench.py passes 2x cores explicitly).
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if master is None:
@@ -50,7 +51,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("FASTLINK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.shuffle.spill.compress", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():
