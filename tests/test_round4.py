@@ -857,3 +857,38 @@ def test_streaming_dedup_string_ids(spark, tmp_path):
         for r in spark.sql("select * from dedup_str_ids").collect()
     }
     assert rows == {("aa" * 16, 7), ("cc" * 16, 9)}
+
+
+def test_incremental_wide_rec_id_compact(spark, tmp_path):
+    """compact() under wide_rec_id: batch CC over 128-bit hex STRING
+    keys, entities rewritten with string labels, relabel map emptied."""
+    import json
+
+    from fastlink_spark.plans.pipeline import LinkageConfig
+    from fastlink_spark.streaming.incremental import IncrementalLinker
+    from tests.test_round3 import _RECRAWL_TOKENS, _toy_em
+
+    t1 = " ".join(_RECRAWL_TOKENS)
+    t1p = " ".join(["CHANGED" if i == 20 else t for i, t in enumerate(_RECRAWL_TOKENS)])
+    t2 = " ".join(f"other{i}" for i in range(40))
+    cfg = LinkageConfig(threshold=0.5, wide_rec_id=True)
+    linker = IncrementalLinker(spark, str(tmp_path / "st"), _toy_em(), cfg)
+    linker.process_batch(
+        _mk_pages4(
+            spark,
+            [
+                ("https://hostone.example.com/a", "bridge title x", t1),
+                ("https://hosttwo.example.com/b", "bridge title x", t2),
+            ],
+        )
+    )
+    linker.process_batch(
+        _mk_pages4(spark, [("https://hosttwo.example.com/c", "bridge title x", t1p)])
+    )
+    assert linker._read_relabels()  # merge happened over string labels
+    linker.compact()
+    with open(tmp_path / "st" / "relabels.json") as f:
+        assert json.load(f) == {}
+    ents = linker.entities().collect()
+    assert len(ents) == 3 and len({r["cluster_id"] for r in ents}) == 1
+    assert all(isinstance(r["cluster_id"], str) and len(r["cluster_id"]) == 32 for r in ents)
