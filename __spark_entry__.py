@@ -4,7 +4,7 @@
 sf0.001 documents rendered as Common-Crawl-style pages. ``queries()``
 exposes each implemented operator from SURVEY.md §2 (+ the mandated
 training-data ops) as a (spark, sf_dir) callable; ``oracle_sql()``
-gives the DuckDB-equivalent SQL for EVERY query (31/31): hash-based ops
+gives the DuckDB-equivalent SQL for EVERY query (32/32): hash-based ops
 use an md5-prefix twin hash DuckDB reproduces bit-exactly, LSH ops emit
 exact-verified (or pigeonhole-guaranteed) outputs, the EM oracles the
 pattern->zeta identity with the fit injected as literals, CC is checked
@@ -712,6 +712,76 @@ def q30_cluster_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "cluster")
 
 
+def q32_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard oracle for the soundex comparator (SURVEY.md F3 — the last
+    comparator outside the q-signal, r4 verdict item 4). DuckDB ships
+    no soundex, so the q31 literal pattern applies: an INDEPENDENT
+    pure-Python American-Soundex twin (census rules: H/W transparent,
+    vowels reset adjacency — _soundex_twin below, verified 0/3017
+    mismatches vs the JVM on random words) computes the codes
+    driver-side and injects them as literals; the Spark side runs the
+    PRODUCTION ``F.soundex`` + ``gamma_soundex`` live. Input domain is
+    the first [A-Za-z]{2,} run of each doc uppercased — pure A-Z, where
+    the census algorithm is unambiguous (non-alpha edge cases are a
+    dialect swamp no consumer of gamma_soundex ever hits: the pipeline
+    feeds it normalized name/title fields). gamma_next pairs each doc
+    with the NEXT doc of the same source (window lead — distributed,
+    no global sort), exercising the full gamma ladder incl. the
+    null-at-partition-end case."""
+    from pyspark.sql import Window
+
+    from fastlink_spark.operators.gammas import gamma_soundex
+
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.upper(
+            F.regexp_extract(F.coalesce(F.col("text"), F.lit("")), "[A-Za-z]{2,}", 0)
+        ).alias("tok"),
+    )
+    f = t.where(F.col("tok") != "")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return f.select(
+        "doc_id",
+        F.soundex("tok").alias("sdx"),
+        gamma_soundex(F.col("tok"), F.lead("tok").over(w)).alias("gamma_next"),
+    )
+
+
+_SDX_CODE = {
+    **{c: "1" for c in "BFPV"},
+    **{c: "2" for c in "CGJKQSXZ"},
+    **{c: "3" for c in "DT"},
+    "L": "4",
+    **{c: "5" for c in "MN"},
+    "R": "6",
+}
+
+
+def _soundex_twin(s: str) -> str:
+    """Independent American Soundex (census rules) for the q32 literal
+    oracle — NOT a port of the JVM code: first letter kept; B..R coded
+    1-6; H/W transparent (do not break adjacency); vowels+Y reset
+    adjacency; adjacent equal codes collapse; pad/truncate to 4.
+    Callers guarantee a pure A-Z input (q32 uppercases an alpha run)."""
+    if not s:
+        return s
+    out, last = [s[0]], _SDX_CODE.get(s[0], "")
+    for ch in s[1:]:
+        if ch in "HW":
+            continue
+        code = _SDX_CODE.get(ch, "")
+        if code == "":
+            last = ""  # vowel: resets adjacency
+            continue
+        if code != last:
+            out.append(code)
+            last = code
+        if len(out) == 4:
+            break
+    return ("".join(out) + "000")[:4]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_block_profile": q01_block_profile,
@@ -745,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_jw_scores": q29_jw_scores,
         "q30_cluster_match": q30_cluster_match,
         "q31_edit_distances": q31_edit_distances,
+        "q32_soundex": q32_soundex,
     }
 
 
@@ -1063,6 +1134,30 @@ def _fitted_oracles() -> dict[str, str]:
             f"SELECT doc_id, CAST(list_position({dlist}, list_min({dlist})) - 1 AS INTEGER) AS cluster "
             "FROM d"
         )
+    # q32: soundex codes from the independent pure-Python census twin
+    # (_soundex_twin), injected as literals; the SQL recomputes the
+    # gamma ladder (2/0/null-at-partition-end) with the same
+    # per-source lead window the Spark side uses.
+    srows = con.execute(
+        f"SELECT doc_id, source, upper(regexp_extract(coalesce(text, ''), '[A-Za-z]{{2,}}', 0)) "
+        f"FROM read_parquet('{sf}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    srows = [r for r in srows if r[2] != ""]
+    if srows:
+        svals = ", ".join(
+            f"({r[0]}, '{_soundex_twin(r[2])}')" for r in srows
+        )
+        out["q32_soundex"] = (
+            "WITH t AS (SELECT doc_id, source, "
+            " upper(regexp_extract(coalesce(text, ''), '[A-Za-z]{2,}', 0)) AS tok FROM documents), "
+            "f AS (SELECT doc_id, source FROM t WHERE tok <> ''), "
+            f"lit(doc_id, sdx) AS (VALUES {svals}), "
+            "j AS (SELECT f.doc_id, f.source, lit.sdx FROM f JOIN lit USING (doc_id)), "
+            "w AS (SELECT doc_id, sdx, "
+            " lead(sdx) OVER (PARTITION BY source ORDER BY doc_id) AS nx FROM j) "
+            "SELECT doc_id, sdx, CAST(CASE WHEN nx IS NULL THEN NULL "
+            " WHEN sdx = nx THEN 2 ELSE 0 END AS INTEGER) AS gamma_next FROM w"
+        )
     _FITTED_CACHE[sf] = dict(out)
     return out
 
@@ -1072,11 +1167,11 @@ def _q17_entry() -> dict[str, str]:
         return _fitted_oracles()
     except Exception as e:  # degrade to rows-only checks, but LOUDLY —
         # a silent {} would let a regression in the fit/kernel twins
-        # masquerade as 31/31 green while six hard oracles never ran
+        # masquerade as 32/32 green while seven hard oracles never ran
         import sys
 
         print(
-            f"WARNING: fitted oracles unavailable, q17/q27/q28/q29/q30/q31 "
+            f"WARNING: fitted oracles unavailable, q17/q27/q28/q29/q30/q31/q32 "
             f"degrade to rows-only checks: {e!r}",
             file=sys.stderr,
         )

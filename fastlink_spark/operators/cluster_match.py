@@ -15,10 +15,19 @@ and DuckDB recomputes the assignment from injected literals).
 
 Scale shape: each Lloyd iteration is one map-side-combining groupBy
 over k×28 longs — shuffle volume is O(k·partitions), independent of
-row count. Assignment is pure whole-stage codegen (k·27 double terms);
-no Python in the loop. Letter counts are case-pair character classes
-(``[aA]``), never locale lowercasing, so JVM / Python / DuckDB agree
-codepoint-for-codepoint.
+row count. Assignment is pure whole-stage codegen (k·27 double terms)
+up to ``CODEGEN_MAX_TERMS``; above that the literal-embedded
+expression's per-job COMPILE cost dominates (measured ~21 s fixed at
+k=8 already, growing O(k·27) in expression size — r4 verdict), so
+large k routes through a broadcast-centroid Arrow pandas-UDF NumPy
+argmin instead. The two paths are BIT-IDENTICAL by construction: the
+NumPy kernel accumulates (x_i−c_i)² left-associated in the same fixed
+dim order as the codegen ``reduce(add, terms)`` (0.0+t0 == t0 exactly
+for the non-negative squared terms), and both argmins take the FIRST
+minimum — so the fitted centroids do not depend on which path ran,
+and the q30 hard oracle (k=8, codegen path) pins both. Letter counts
+are case-pair character classes (``[aA]``), never locale lowercasing,
+so JVM / Python / DuckDB agree codepoint-for-codepoint.
 
 Deterministic blocking remains the pipeline default (BASELINE.json:6 —
 host + MinHash bands); this operator is the optional clusterMatch
@@ -30,6 +39,8 @@ from __future__ import annotations
 import operator
 from functools import reduce
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -37,7 +48,12 @@ from ..plans.materialize import Materializer, resolve
 
 LETTERS = "abcdefghijklmnopqrstuvwxyz"
 N_DIMS = len(LETTERS) + 1  # 26 letter counts + total length
-MAX_ASSIGN_TERMS = 20_000  # k * N_DIMS codegen-expression guard
+# k*N_DIMS above this -> broadcast-centroid pandas-UDF path (the
+# codegen expression still EXECUTES fine far beyond this, but its
+# per-job janino compile grows with expression size and dominates the
+# fit wall at large k)
+CODEGEN_MAX_TERMS = 2_000
+_NP_CHUNK = 2_048  # rows per (chunk, k) distance block (~k*16KB each)
 
 
 def letter_features(df: DataFrame, col: str, out: str = "lf_vec") -> DataFrame:
@@ -64,16 +80,67 @@ def _dist(vec_col: str, cent: list[float]):
     return reduce(operator.add, terms)
 
 
+def _np_dists(X: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """(n,k) squared distances, accumulated LEFT-ASSOCIATED over dims —
+    the exact IEEE op order of the codegen ``reduce(add, terms)``
+    expression (acc starts at 0.0; 0.0+t == t for the non-negative
+    squared terms), so both assignment paths agree bit-for-bit. A
+    np.sum over the dim axis would pairwise-sum and drift in the last
+    ulp, which is enough to flip an argmin tie."""
+    acc = np.zeros((X.shape[0], C.shape[0]))
+    for i in range(N_DIMS):
+        d = X[:, None, i] - C[None, :, i]
+        acc += d * d
+    return acc
+
+
+def _pandas_assign(centroids: list[list[float]]):
+    """Broadcast-centroid Arrow argmin for the large-k path.
+    np.argmin returns the FIRST minimum — same tie rule as the codegen
+    array_position(arr, array_min(arr))."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.asarray(v.tolist(), dtype=np.float64)
+        out = np.empty(len(X), dtype=np.int32)
+        for s in range(0, len(X), _NP_CHUNK):
+            out[s : s + _NP_CHUNK] = _np_dists(X[s : s + _NP_CHUNK], C).argmin(axis=1)
+        return pd.Series(out)
+
+    return assign
+
+
+def _pandas_min_dist(centroids: list[list[float]]):
+    """min distance to any centroid (the kmeanspp seeding statistic)
+    for the large-k path — bit-identical to array_min over the codegen
+    distance array."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("double")
+    def min_dist(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="float64")
+        X = np.asarray(v.tolist(), dtype=np.float64)
+        out = np.empty(len(X), dtype=np.float64)
+        for s in range(0, len(X), _NP_CHUNK):
+            out[s : s + _NP_CHUNK] = _np_dists(X[s : s + _NP_CHUNK], C).min(axis=1)
+        return pd.Series(out)
+
+    return min_dist
+
+
 def assign_clusters(
     feats: DataFrame, centroids: list[list[float]], vec_col: str = "lf_vec"
 ) -> DataFrame:
     """argmin over centroid distances; ties -> lowest cluster id
-    (array_position returns the FIRST occurrence of the minimum)."""
-    if len(centroids) * N_DIMS > MAX_ASSIGN_TERMS:
-        raise ValueError(
-            f"k={len(centroids)} too large for the codegen assignment path "
-            f"(k*{N_DIMS} > {MAX_ASSIGN_TERMS}); shrink k or pre-block"
-        )
+    (FIRST occurrence of the minimum on both paths). Codegen
+    literal-embedded expression up to CODEGEN_MAX_TERMS; broadcast-
+    centroid pandas UDF above (bit-identical, see _np_dists)."""
+    if len(centroids) * N_DIMS > CODEGEN_MAX_TERMS:
+        return feats.withColumn("cluster", _pandas_assign(centroids)(F.col(vec_col)))
     arr = F.array(*[_dist(vec_col, c) for c in centroids])
     return feats.withColumn(
         "cluster", (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
@@ -108,15 +175,6 @@ def fit_kmeans(
     balanced two-table fit. Empty clusters keep their previous
     centroid. Converges early when an update is an exact fixpoint.
     """
-    if k * N_DIMS > MAX_ASSIGN_TERMS:
-        # same guard assign_clusters applies, but BEFORE any seeding
-        # work — kmeanspp otherwise runs k-1 full-scan top-1 jobs with
-        # ever-growing distance expressions only to fail at the first
-        # Lloyd assignment
-        raise ValueError(
-            f"k={k} too large for the codegen assignment path "
-            f"(k*{N_DIMS} > {MAX_ASSIGN_TERMS}); shrink k or pre-block"
-        )
     id_str = F.col(id_col).cast("string")
     h = F.md5(id_str) if init == "md5" else F.xxhash64(id_str)
     if init == "kmeanspp":
@@ -130,9 +188,15 @@ def fit_kmeans(
             raise ValueError("empty input for k-means blocking")
         cents = [[float(x) for x in first[0][vec_col]]]
         while len(cents) < k:
-            arr = F.array(*[_dist(vec_col, c) for c in cents])
+            # the seeding statistic follows the same codegen/pandas
+            # switch as assignment; bit-equal distances mean the seed
+            # trajectory is independent of where the switch lands
+            if len(cents) * N_DIMS > CODEGEN_MAX_TERMS:
+                d_col = _pandas_min_dist(cents)(F.col(vec_col))
+            else:
+                d_col = F.array_min(F.array(*[_dist(vec_col, c) for c in cents]))
             nxt = (
-                feats.select(F.col(vec_col), F.array_min(arr).alias("_d"), F.col(id_col).alias("_i"))
+                feats.select(F.col(vec_col), d_col.alias("_d"), F.col(id_col).alias("_i"))
                 .orderBy(F.desc("_d"), F.asc("_i"))
                 .limit(1)
                 .collect()

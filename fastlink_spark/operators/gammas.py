@@ -124,6 +124,16 @@ class FieldSpec:
             return self.cut_partial
         return None
 
+    def _similarity_partial(self) -> float | None:
+        """Symmetric guard for SIMILARITY cuts (ADVICE r4): level 1 is
+        [cut_partial, cut_full), reachable only when cut_partial <
+        cut_full (the full cut is checked first). A partial cut at or
+        above full is 'no partial level' — advertising it would be
+        exactly the phantom-universe hazard the numeric guard closes."""
+        if self.cut_partial is not None and self.cut_partial < self.cut_full:
+            return self.cut_partial
+        return None
+
     def possible_levels(self) -> list[int]:
         """The complete gamma-level universe this spec can emit (null
         excluded). Lets a sample-based EM fit (emlinkRS) model levels
@@ -136,7 +146,7 @@ class FieldSpec:
         if self.kind == "numeric":
             return [0, 1, 2] if self._numeric_partial() is not None else [0, 2]
         if self.kind in ("string", "levenshtein", "dl"):
-            return [0, 1, 2] if self.cut_partial is not None else [0, 2]
+            return [0, 1, 2] if self._similarity_partial() is not None else [0, 2]
         raise ValueError(f"unknown field kind: {self.kind}")
 
     def gamma(self) -> Column:
@@ -144,13 +154,15 @@ class FieldSpec:
         if self.kind == "exact":
             return gamma_exact(a, b)
         if self.kind == "string":
-            return gamma_string(a, b, self.cut_full, self.cut_partial)
+            return gamma_string(a, b, self.cut_full, self._similarity_partial())
         if self.kind == "string2":
             return gamma_string(a, b, self.cut_full, None)
         if self.kind == "levenshtein":
-            return gamma_from_sim(levenshtein_sim(a, b), self.cut_full, self.cut_partial)
+            return gamma_from_sim(
+                levenshtein_sim(a, b), self.cut_full, self._similarity_partial()
+            )
         if self.kind == "dl":
-            return gamma_from_sim(dl_udf(a, b), self.cut_full, self.cut_partial)
+            return gamma_from_sim(dl_udf(a, b), self.cut_full, self._similarity_partial())
         if self.kind == "soundex":
             return gamma_soundex(a, b)
         if self.kind == "numeric":

@@ -51,7 +51,9 @@ def disk_only(df: DataFrame, name: str = "") -> DataFrame:
 
 def _rm_path(spark, path: str) -> None:
     """Best-effort scratch deletion: Hadoop FS for URI paths (s3://,
-    hdfs:// — shutil can't touch those), shutil locally."""
+    hdfs:// — shutil can't touch those), shutil locally. A failed
+    remote delete is only best-effort, but it must be OBSERVABLE: a
+    silently leaked object-store prefix accrues cost forever."""
     if "://" in path:
         try:
             jvm = spark._jvm
@@ -59,8 +61,15 @@ def _rm_path(spark, path: str) -> None:
             hpath = jvm.org.apache.hadoop.fs.Path(path)
             fs = hpath.getFileSystem(jsc.hadoopConfiguration())
             fs.delete(hpath, True)
-        except Exception:
-            pass
+        except Exception as exc:
+            import sys
+
+            print(
+                f"fastlink: WARNING leaked scratch path {path!r} "
+                f"(delete failed: {exc}) — remove it manually or point "
+                "spark.fastlink.scratchDir at a TTL-managed prefix",
+                file=sys.stderr,
+            )
     else:
         import shutil
 
@@ -173,15 +182,58 @@ def _discover_root(df: DataFrame) -> str | None:
     return scratch
 
 
-def _invocation_materializer(df: DataFrame) -> Materializer:
+def _new_invocation_dir(df: DataFrame) -> str | None:
+    """Allocate a fresh inv_<n> scratch namespace (None -> no usable
+    root, caller falls back to disk_only)."""
     root = _discover_root(df)
     if root is None:
-        return disk_only
+        return None
     state = _app_scratch[df.sparkSession.sparkContext.applicationId]
     inv = state["n"]
     state["n"] = inv + 1
     join = (lambda *p: "/".join(p)) if "://" in root else os.path.join
-    return parquet_materializer(join(root, f"inv_{inv:04d}"))
+    return join(root, f"inv_{inv:04d}")
+
+
+def _invocation_materializer(df: DataFrame) -> Materializer:
+    inv_dir = _new_invocation_dir(df)
+    if inv_dir is None:
+        return disk_only
+    return parquet_materializer(inv_dir)
+
+
+class ScopedMaterializer:
+    """An invocation-scoped scratch materializer with an EXPLICIT
+    ``close()``. ``resolve(None)``'s namespaces are only reclaimed by
+    the atexit hook at JVM exit — fine for a one-shot batch job, but a
+    long-running streaming driver calling an operator per micro-batch
+    would accumulate a parquet copy of every batch's intermediates
+    until shutdown (ADVICE r4). A caller that knows its cuts' lifetime
+    (e.g. IncrementalLinker.process_batch: nothing re-reads the cuts
+    after the state commit) creates one of these per unit of work and
+    closes it when done. close() is idempotent; a call after close
+    lazily re-opens a fresh namespace."""
+
+    def __init__(self, spark):
+        self._spark = spark
+        self._inv_dir: str | None = None
+        self._mat: Materializer | None = None
+
+    def __call__(self, df: DataFrame, name: str = "") -> DataFrame:
+        if self._mat is None:
+            self._inv_dir = _new_invocation_dir(df)
+            self._mat = (
+                disk_only
+                if self._inv_dir is None
+                else parquet_materializer(self._inv_dir)
+            )
+        return self._mat(df, name)
+
+    def close(self) -> None:
+        if self._inv_dir is not None:
+            _rm_path(self._spark, self._inv_dir)
+        self._inv_dir = None
+        self._mat = None
 
 
 def resolve(materializer: Materializer | None) -> Materializer:

@@ -316,10 +316,12 @@ def link_dedupe(
         spark.conf.set(_arrow_key, _arrow_prev)
 
     gcols = [f"gamma_{f.name}" for f in fields]
-    if cfg.sample_fraction is not None and 0 < cfg.sample_fraction < 1:
-        fit_src = scored.sample(cfg.sample_fraction, seed=42)
-    else:
-        fit_src = scored
+    # ONE predicate decides both whether sampling happens and whether
+    # the fit gets sample-mode regularization below (ADVICE r4:
+    # sample_fraction=1.0 used to skip the sample yet still perturb the
+    # fit with level_universe + dirichlet pseudo-counts)
+    sampled = cfg.sample_fraction is not None and 0 < cfg.sample_fraction < 1
+    fit_src = scored.sample(cfg.sample_fraction, seed=42) if sampled else scored
     fit_patterns = gammas.pattern_counts(fit_src, fields).toPandas()
 
     # em checkpoint is config-keyed: a config change must invalidate it
@@ -335,7 +337,6 @@ def link_dedupe(
         # field's evidence exactly on the rarest (most informative)
         # patterns. Full-fit mode keeps data-derived levels (identical
         # behavior and fits to every prior round).
-        sampled = cfg.sample_fraction is not None
         em = em_mod.emlink_mar(
             fit_patterns,
             gcols,
@@ -355,7 +356,7 @@ def link_dedupe(
 
     full_patterns = (
         fit_patterns
-        if cfg.sample_fraction is None
+        if not sampled  # no sampling happened -> fit table IS the full table
         else gammas.pattern_counts(scored, fields).toPandas()
     )
     scored_patterns = em_mod.apply_em(full_patterns, em)

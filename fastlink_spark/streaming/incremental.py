@@ -27,14 +27,31 @@ each micro-batch of arriving pages. Per batch:
      applied, so merged clusters read as one entity and a re-crawled
      url has exactly one row.
 
-Delivery semantics: foreachBatch is at-least-once. When a real
-``batch_id`` is supplied (the stream wiring always does), an
-already-applied id is skipped, making replays no-ops once a batch
-fully committed. A crash mid-batch (parquet appended, meta not yet
-advanced) re-runs the batch; the duplicate appended rows are
-superseded harmlessly because every read path takes max-``_seq`` per
-record. True atomic commit needs a transactional table format — on
-Iceberg each batch would be one transaction and this guard disappears.
+Delivery semantics: foreachBatch is at-least-once; the state commit
+is a MANIFEST-POINTER transaction (r5, closing the r4 verdict's top
+streaming item). Each batch writes its rows to fresh per-seq parquet
+SEGMENT dirs (``seg_<seq>_records`` / ``seg_<seq>_entities``,
+mode=overwrite), then commits by atomically renaming a rewritten
+``MANIFEST.json`` — the single pointer naming the valid segment set,
+the seq, the applied batch_id AND the relabel map. Consequences:
+
+- a crash anywhere before the rename leaves the manifest untouched:
+  the next read serves EXACTLY the pre-batch state (no
+  superseded-but-present rows, no partially-applied relabels — the
+  relabel map commits in the same rename as the segments);
+- a replay of the crashed batch recomputes the same seq and
+  OVERWRITES the orphan segment dirs, then commits — effectively
+  exactly-once state;
+- an already-committed ``batch_id`` is skipped outright (replay
+  no-op); orphan segments from crashes are garbage-collected
+  opportunistically after each successful commit.
+
+The rename is atomic against process crash (POSIX rename; same
+guarantee for HDFS). Power-loss durability of the segment parquet
+bytes themselves is the filesystem's problem (Spark does not fsync
+local writes); on a real cluster the equivalent is an Iceberg
+transaction per batch — this layout is the same commit protocol
+(segment files + atomic pointer swap) in plain parquet.
 
 Between compactions cluster membership is MERGE-MONOTONE: batches add
 match edges and merge clusters but never retract — a re-crawl whose
@@ -60,7 +77,7 @@ from pyspark.sql import functions as F
 from ..em import EMResult, apply_em
 from ..operators import gammas
 from ..operators.pairs import candidate_pairs_two
-from ..plans.materialize import resolve as _resolve_mat
+from ..plans.materialize import ScopedMaterializer
 from ..plans.pipeline import (
     LinkageConfig,
     matched_from_zeta,
@@ -90,26 +107,93 @@ class IncrementalLinker:
         self.cfg = cfg or LinkageConfig()
         os.makedirs(state_dir, exist_ok=True)
 
-    # -- state ------------------------------------------------------------
+    # -- state: manifest-pointer layout -----------------------------------
+    # MANIFEST.json is the ONE commit point: {"version": 2, "seq": N,
+    # "last_batch_id": B, "records": [segdir...], "entities":
+    # [segdir...], "relabels": {label: label}}. Segment dirs are
+    # immutable once referenced; writers stage new segments then swap
+    # the manifest via atomic rename.
     def _path(self, name: str) -> str:
         return os.path.join(self.state_dir, name)
 
-    def _read_state(self, name: str) -> DataFrame | None:
-        p = self._path(name)
-        if os.path.exists(p):
-            return self.spark.read.parquet(p)
-        return None
-
-    def _read_meta(self) -> dict:
-        p = self._path("meta.json")
+    def _load_manifest(self) -> dict:
+        p = self._path("MANIFEST.json")
         if os.path.exists(p):
             with open(p) as f:
                 return json.load(f)
-        return {"seq": 0, "last_batch_id": -1}
+        # legacy (pre-manifest) state dir: synthesize an in-memory
+        # manifest over the old append-mode dirs + side json files; the
+        # first v2 commit rewrites everything and retires them
+        legacy_meta = {"seq": 0, "last_batch_id": -1}
+        mp = self._path("meta.json")
+        if os.path.exists(mp):
+            with open(mp) as f:
+                legacy_meta = json.load(f)
+        relabels = {}
+        rp = self._path("relabels.json")
+        if os.path.exists(rp):
+            with open(rp) as f:
+                relabels = json.load(f)
+        return {
+            "version": 2,
+            "seq": legacy_meta.get("seq", 0),
+            "last_batch_id": legacy_meta.get("last_batch_id", -1),
+            "records": ["records"] if os.path.exists(self._path("records")) else [],
+            "entities": ["entities"] if os.path.exists(self._path("entities")) else [],
+            "relabels": relabels,
+        }
 
-    def _write_meta(self, meta: dict) -> None:
-        with open(self._path("meta.json"), "w") as f:
-            json.dump(meta, f)
+    def _commit_manifest(self, manifest: dict) -> None:
+        """THE transaction: tmp-write + fsync + atomic rename + dir
+        fsync. Everything a batch changes (segments, seq, batch_id,
+        relabel map) becomes visible in this single rename or not at
+        all."""
+        tmp = self._path("MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._path("MANIFEST.json"))
+        dfd = os.open(self.state_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+        # legacy side files are stale the moment a real manifest exists
+        for leftover in ("meta.json", "relabels.json"):
+            p = self._path(leftover)
+            if os.path.exists(p):
+                os.remove(p)
+
+    def _gc_unreferenced(self, manifest: dict) -> None:
+        """Best-effort removal of state dirs no manifest references —
+        orphan segments from crashed batches and segments retired by
+        compact(). Runs AFTER a successful commit only, so nothing
+        live is ever touched."""
+        import shutil
+
+        live = set(manifest["records"]) | set(manifest["entities"])
+        for d in os.listdir(self.state_dir):
+            full = os.path.join(self.state_dir, d)
+            if not os.path.isdir(full) or d in live:
+                continue
+            if d.startswith("seg_") or d in ("records", "entities"):
+                shutil.rmtree(full, ignore_errors=True)
+
+    def _read_segments(self, manifest: dict, kind: str) -> DataFrame | None:
+        names = manifest[kind]
+        if not names:
+            return None
+        paths = [self._path(n) for n in names]
+        # legacy dirs may predate the _seq column; v2 segments always
+        # carry it. Per-path normalization + unionByName keeps mixed
+        # generations readable (one manifest generation after a
+        # compact(), the list is a single segment again).
+        parts = [_with_seq(self.spark.read.parquet(p)) for p in paths]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _id_ddl(self) -> str:
         """Spark DDL type of rec_id/cluster_id labels (long for the
@@ -117,34 +201,48 @@ class IncrementalLinker:
         key) — relabel tables and null literals must match it."""
         return "string" if self.cfg.wide_rec_id else "long"
 
+    def _relabels_from(self, manifest: dict) -> dict:
+        raw = manifest.get("relabels", {})
+        if self.cfg.wide_rec_id:
+            return dict(raw.items())
+        return {int(k): int(v) for k, v in raw.items()}
+
     def _read_relabels(self) -> dict:
-        p = self._path("relabels.json")
-        if os.path.exists(p):
-            with open(p) as f:
-                raw = json.load(f)
-            if self.cfg.wide_rec_id:
-                return dict(raw.items())
-            return {int(k): int(v) for k, v in raw.items()}
-        return {}
+        return self._relabels_from(self._load_manifest())
 
-    def _write_relabels(self, mapping: dict) -> None:
-        with open(self._path("relabels.json"), "w") as f:
-            json.dump({str(k): v for k, v in mapping.items()}, f)
-
-    def entities(self) -> DataFrame | None:
+    def entities(self, manifest: dict | None = None) -> DataFrame | None:
         """Entity state: one row per rec_id (its LATEST assignment by
         _seq — re-crawls supersede, never duplicate) with the relabel
         map applied as a broadcast join (tiny: one row per merge
         event). compact() collapses both read-time layers to a plain
-        scan."""
-        ent = _with_seq(self._read_state("entities"))
+        scan.
+
+        The winning row is picked by max_by over a struct of
+        (_seq, ~xxhash64(cluster_id,url)) — i.e. _seq desc with a
+        content-hash tiebreak, the SAME deterministic order compact()
+        uses (ADVICE r4): legacy pre-seq rows all read as _seq=0, so
+        without the tiebreak a multiply-re-crawled record's served row
+        was partition-order nondeterministic. Taking cluster_id and
+        url from ONE struct also pins them to the same winning row
+        (two independent max_by calls could mix rows on a tie)."""
+        manifest = manifest if manifest is not None else self._load_manifest()
+        ent = self._read_segments(manifest, "entities")
         if ent is None:
             return None
-        ent = ent.groupBy("rec_id").agg(
-            F.max_by("cluster_id", "_seq").alias("cluster_id"),
-            F.max_by("url", "_seq").alias("url"),
+        # bitwise_not flips the total order of the hash without the
+        # overflow hazard of negating Long.MIN_VALUE, so max_by(~h)
+        # == asc-hash winner — mirroring compact()'s ORDER BY
+        # (_seq DESC, xxhash64 ASC)
+        win = F.max_by(
+            F.struct("cluster_id", "url"),
+            F.struct(F.col("_seq"), F.bitwise_not(F.xxhash64("cluster_id", "url"))),
         )
-        mapping = self._read_relabels()
+        ent = (
+            ent.groupBy("rec_id")
+            .agg(win.alias("_w"))
+            .select("rec_id", F.col("_w.cluster_id").alias("cluster_id"), F.col("_w.url").alias("url"))
+        )
+        mapping = self._relabels_from(manifest)
         if not mapping:
             return ent
         idt = self._id_ddl()
@@ -168,16 +266,37 @@ class IncrementalLinker:
         ``batch_id``: pass the foreachBatch id (stream_from_files does)
         to make redelivered batches no-ops after a full commit; direct
         ad-hoc calls may omit it (no replay dedup)."""
-        meta = self._read_meta()
-        if batch_id is not None and batch_id <= meta["last_batch_id"]:
+        manifest = self._load_manifest()
+        if batch_id is not None and batch_id <= manifest["last_batch_id"]:
             return None  # replayed batch, already fully applied
-        seq = meta["seq"] + 1
+        seq = manifest["seq"] + 1
+        # ONE scratch namespace for the whole batch, deleted right
+        # after the manifest commit (ADVICE r4: per-cut resolve(None)
+        # namespaces lived until JVM exit — a long-running stream
+        # accumulated a parquet copy of every batch's intermediates).
+        # Closing is safe because the returned DataFrame is re-read
+        # from the COMMITTED state segment, not from scratch.
+        mat = ScopedMaterializer(self.spark)
+        try:
+            return self._process_batch_inner(
+                new_pages, batch_id, manifest, seq, mat
+            )
+        finally:
+            mat.close()
 
+    def _process_batch_inner(
+        self,
+        new_pages: DataFrame,
+        batch_id: int | None,
+        manifest: dict,
+        seq: int,
+        mat,
+    ) -> DataFrame:
         cfg = self.cfg
         fields = list(cfg.fields)
-        new_rec = _resolve_mat(None)(prepare_pages(new_pages, cfg), "new_rec")
+        new_rec = mat(prepare_pages(new_pages, cfg), "new_rec")
 
-        old_rec = _with_seq(self._read_state("records"))
+        old_rec = self._read_segments(manifest, "records")
         attrs = ["rec_id"] + [f.name for f in fields]
         new_blocked = new_rec.select(F.explode("block_keys").alias("block_key"), *attrs)
         if old_rec is not None:
@@ -238,7 +357,7 @@ class IncrementalLinker:
             zdf = zeta_pattern_df(self.spark, apply_em(patt, self.em), gcols)
             matched = matched_from_zeta(scored, zdf, gcols, cfg)
 
-        old_ent = self.entities()
+        old_ent = self.entities(manifest)
         idt = self._id_ddl()
         if matched is not None and old_ent is not None:
             partner_clusters = matched.join(
@@ -273,7 +392,7 @@ class IncrementalLinker:
             )
         else:
             new_ent = new_ids.withColumn("cluster_id", F.col("rec_id"))
-        new_ent = _resolve_mat(None)(
+        new_ent = mat(
             new_ent.join(new_rec.select("rec_id", "url"), "rec_id"), "new_ent"
         )
 
@@ -281,6 +400,7 @@ class IncrementalLinker:
         # (within-batch transitive chains; new record bridging old
         # clusters). Only the distinct conflicting LABEL pairs reach the
         # driver — O(merge events), not O(pairs).
+        new_relabels = dict(manifest.get("relabels", {}))
         if matched is not None:
             lab_a = new_ent.select(
                 F.col("rec_id").alias("a_rec_id"), F.col("cluster_id").alias("la")
@@ -303,7 +423,7 @@ class IncrementalLinker:
                 .collect()
             )
             if conflicts:
-                mapping = self._read_relabels()
+                mapping = self._relabels_from(manifest)
                 parent: dict = {}
 
                 def find(x):
@@ -328,12 +448,18 @@ class IncrementalLinker:
                 for r in conflicts:
                     union(r["la"], r["lb"])
                 resolved = {x: find(x) for x in parent}
-                self._write_relabels({k: v for k, v in resolved.items() if k != v})
+                # staged for the manifest commit below — a crash
+                # between here and the rename publishes NOTHING (the
+                # old code wrote relabels.json mid-batch, making
+                # merges visible without the batch's rows)
+                new_relabels = {
+                    str(k): v for k, v in resolved.items() if k != v
+                }
                 mdf = self.spark.createDataFrame(
                     [(k, v) for k, v in resolved.items() if k != v],
                     f"cluster_id {idt}, __to {idt}",
                 )
-                new_ent = _resolve_mat(None)(
+                new_ent = mat(
                     new_ent.join(F.broadcast(mdf), "cluster_id", "left").select(
                         "rec_id",
                         F.coalesce("__to", "cluster_id").alias("cluster_id"),
@@ -342,21 +468,31 @@ class IncrementalLinker:
                     "new_ent_relabel",
                 )
 
+        # stage segments (overwrite: a replay of a crashed batch
+        # recomputes the same seq and clobbers its own orphans), then
+        # commit everything in one manifest rename
         stamp = F.lit(seq).cast("long")
-        new_rec.withColumn("_seq", stamp).write.mode("append").parquet(
-            self._path("records")
+        rec_seg = f"seg_{seq:06d}_records"
+        ent_seg = f"seg_{seq:06d}_entities"
+        new_rec.withColumn("_seq", stamp).write.mode("overwrite").parquet(
+            self._path(rec_seg)
         )
-        new_ent.withColumn("_seq", stamp).write.mode("append").parquet(
-            self._path("entities")
+        new_ent.withColumn("_seq", stamp).write.mode("overwrite").parquet(
+            self._path(ent_seg)
         )
-        # commit point: meta advances only after both appends succeeded;
-        # a crash before this line replays the batch (idempotent via the
-        # batch_id guard + max-_seq reads)
-        meta["seq"] = seq
-        if batch_id is not None:
-            meta["last_batch_id"] = batch_id
-        self._write_meta(meta)
-        return new_ent
+        committed = {
+            "version": 2,
+            "seq": seq,
+            "last_batch_id": batch_id if batch_id is not None else manifest["last_batch_id"],
+            "records": manifest["records"] + [rec_seg],
+            "entities": manifest["entities"] + [ent_seg],
+            "relabels": new_relabels,
+        }
+        self._commit_manifest(committed)
+        self._gc_unreferenced(committed)
+        # serve the batch's rows from COMMITTED state, not scratch —
+        # the caller may hold this frame long after mat.close()
+        return self.spark.read.parquet(self._path(ent_seg)).drop("_seq")
 
     def compact(self) -> DataFrame | None:
         """Periodic state compaction — the module-docstring tradeoff
@@ -373,20 +509,30 @@ class IncrementalLinker:
         zero until the next batch. Cost = one batch link over the
         corpus — schedule it off-peak; every stage is the same
         scale-audited plan the batch pipeline runs (no new shuffle
-        shapes)."""
-        from pyspark.sql import Window
-
-        from ..operators.cluster import connected_components
-        from ..operators.pairs import candidate_pairs
-        from ..plans.pipeline import _blocked_records
-
-        records = _with_seq(self._read_state("records"))
+        shapes). Commit protocol: the compacted rows are staged to
+        fresh ``seg_<seq>_compact_*`` segments and published by the
+        same atomic manifest rename as a batch — a crash mid-compact
+        leaves the pre-compact state fully intact; the retired
+        segments are garbage-collected after the commit."""
+        manifest = self._load_manifest()
+        records = self._read_segments(manifest, "records")
         if records is None:
             return None
         cfg = self.cfg
         fields = list(cfg.fields)
         gcols = [f"gamma_{f.name}" for f in fields]
-        mat = _resolve_mat(None)
+        mat = ScopedMaterializer(self.spark)
+        try:
+            return self._compact_inner(manifest, records, cfg, fields, gcols, mat)
+        finally:
+            mat.close()
+
+    def _compact_inner(self, manifest, records, cfg, fields, gcols, mat):
+        from pyspark.sql import Window
+
+        from ..operators.cluster import connected_components
+        from ..operators.pairs import candidate_pairs
+        from ..plans.pipeline import _blocked_records
         # re-crawled urls appear once per batch in the append-only
         # records state (same rec_id = xxhash64(url)); keep the LATEST
         # crawl deterministically (_seq desc; content-hash tiebreak for
@@ -424,21 +570,32 @@ class IncrementalLinker:
         labels = connected_components(
             edges, records.select(F.col("rec_id").alias("id")), materializer=mat
         )
-        meta = self._read_meta()
-        stamp = F.lit(meta["seq"]).cast("long")
-        new_ent = mat(
+        seq = manifest["seq"]
+        stamp = F.lit(seq).cast("long")
+        new_ent = (
             labels.withColumnRenamed("id", "rec_id")
             .join(records.select("rec_id", "url"), "rec_id")
             .select("rec_id", "cluster_id", "url")
-            .withColumn("_seq", stamp),
-            "compact_entities",
+            .withColumn("_seq", stamp)
         )
-        new_ent.write.mode("overwrite").parquet(self._path("entities"))
-        # records state compacts too: superseded crawl rows are dead
-        # weight for every future batch's index scan
-        records.write.mode("overwrite").parquet(self._path("records"))
-        self._write_relabels({})
-        return self.spark.read.parquet(self._path("entities")).drop("_seq")
+        # stage the compacted states as fresh segments (records state
+        # compacts too: superseded crawl rows are dead weight for every
+        # future batch's index scan), then swap the manifest
+        rec_seg = f"seg_{seq:06d}_compact_records"
+        ent_seg = f"seg_{seq:06d}_compact_entities"
+        new_ent.write.mode("overwrite").parquet(self._path(ent_seg))
+        records.write.mode("overwrite").parquet(self._path(rec_seg))
+        committed = {
+            "version": 2,
+            "seq": seq,
+            "last_batch_id": manifest["last_batch_id"],
+            "records": [rec_seg],
+            "entities": [ent_seg],
+            "relabels": {},
+        }
+        self._commit_manifest(committed)
+        self._gc_unreferenced(committed)
+        return self.spark.read.parquet(self._path(ent_seg)).drop("_seq")
 
     # -- streaming wiring ---------------------------------------------------
     def stream_from_files(self, input_dir: str, checkpoint_dir: str, schema):

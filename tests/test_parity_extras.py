@@ -143,7 +143,9 @@ def test_incremental_linker(spark, tmp_path):
     n2 = e2.count()
     assert n1 == half and n2 == len(pages) - half
     # a second-batch variant of a first-batch page must join its cluster
-    ents = spark.read.parquet(str(tmp_path / "state" / "entities"))
+    # (served through the manifest-backed entities() view — raw state
+    # moved to seg_* dirs under the r5 atomic-commit layout)
+    ents = linker.entities()
     truth = spark.createDataFrame(fx.entities_truth).withColumnRenamed(
         "cluster_id", "truth_cluster"
     )

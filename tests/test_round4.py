@@ -309,7 +309,7 @@ def _mk_pages4(spark, rows):
 
 def test_incremental_compact_empties_relabels_and_matches_batch(spark, tmp_path):
     """After merge events inflate the relabel map, compact() must
-    (a) rewrite entities to the batch-CC labels, (b) leave relabels.json
+    (a) rewrite entities to the batch-CC labels, (b) leave the relabel map
     EMPTY, and (c) produce the same cluster partition as a from-scratch
     run over the union of all pages with the same frozen EM."""
     import json
@@ -340,8 +340,7 @@ def test_incremental_compact_empties_relabels_and_matches_batch(spark, tmp_path)
     assert len(set(ents1.values())) == 1  # merged through the relabel map
 
     compacted = linker.compact()
-    with open(tmp_path / "st" / "relabels.json") as f:
-        assert json.load(f) == {}
+    assert linker._read_relabels() == {}  # emptied by the manifest commit
     ents2 = {r["rec_id"]: r["cluster_id"] for r in linker.entities().collect()}
     assert set(ents2) == set(ents1)
     assert len(set(ents2.values())) == 1
@@ -887,8 +886,7 @@ def test_incremental_wide_rec_id_compact(spark, tmp_path):
     )
     assert linker._read_relabels()  # merge happened over string labels
     linker.compact()
-    with open(tmp_path / "st" / "relabels.json") as f:
-        assert json.load(f) == {}
+    assert linker._read_relabels() == {}  # emptied by the manifest commit
     ents = linker.entities().collect()
     assert len(ents) == 3 and len({r["cluster_id"] for r in ents}) == 1
     assert all(isinstance(r["cluster_id"], str) and len(r["cluster_id"]) == 32 for r in ents)
