@@ -45,10 +45,18 @@ def _track(d: str) -> str:
 #                        a concurrent pytest/Spark run on the same box.
 # Interpretation rule (also in BENCH/BASELINE.md): if contended=true,
 # compare against the median-of-3 sweep (BENCH/run.py), not this run.
-# References pinned from an idle-box calibration on 2026-08-17; turbo/
-# freq-scaling noise on this VM spans ~±20%, hence the loose 0.65 floor.
-_ALU_REF_MFLOPS = 37_000.0
+# References pinned from an idle-box calibration on 2026-08-17 (32
+# workers -> ~37 GFLOP/s aggregate); the ALU reference is PER-WORKER so
+# the BENCH/run.py sweep widths (4/8/16 workers) get a proportionate
+# floor — per-worker throughput only rises at low widths (turbo
+# headroom), making the linear floor conservative there. Turbo/freq
+# noise on this VM spans ~±20%, hence the loose 0.65 factor.
+_ALU_REF_MFLOPS_PER_WORKER = 37_000.0 / 32
+# fixture_gen reference is pinned at the DRIVER config (nbase=4000)
+# only — other fixture sizes emit drift=None rather than a number
+# computed against the wrong baseline
 _FIXTURE_GEN_REF_SEC = 6.0
+_FIXTURE_GEN_REF_NBASE = 4_000
 _PROBE_ITERS = 9_000
 _PROBE_N = 65_536
 
@@ -87,9 +95,13 @@ def _proc_stat() -> list[int]:
 
 
 def _tree_cpu_sec() -> float:
-    """utime+stime of this process and every live descendant (incl. the
-    Spark JVM), from /proc — getrusage(RUSAGE_CHILDREN) misses live
-    children, which is exactly what the JVM is at sentinel time."""
+    """CPU seconds attributable to this process tree, from /proc —
+    getrusage(RUSAGE_CHILDREN) misses live children, which is exactly
+    what the Spark JVM is at sentinel time. Counts utime+stime of every
+    LIVE tree member PLUS cutime+cstime (CPU of already-reaped
+    children, e.g. a respawned UDF worker — their time exists only in
+    the surviving parent's counters; live descendants are NOT in any
+    parent's cutime until reaped, so nothing double-counts)."""
     hz = os.sysconf("SC_CLK_TCK")
     ppid: dict[int, int] = {}
     cpu: dict[int, float] = {}
@@ -103,7 +115,10 @@ def _tree_cpu_sec() -> float:
             rest = raw[raw.rindex(")") + 2 :].split()
             pid = int(d)
             ppid[pid] = int(rest[1])  # field 4
-            cpu[pid] = (int(rest[11]) + int(rest[12])) / hz  # utime+stime
+            # utime+stime+cutime+cstime (fields 14-17)
+            cpu[pid] = (
+                int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+            ) / hz
         except (OSError, ValueError):
             continue  # raced with process exit
     mine = {os.getpid()}
@@ -117,7 +132,9 @@ def _tree_cpu_sec() -> float:
     return sum(cpu.get(pid, 0.0) for pid in mine)
 
 
-def _sentinel_close(pre: dict, fixture_gen_sec: float, cpus: int) -> dict:
+def _sentinel_close(
+    pre: dict, fixture_gen_sec: float, cpus: int, n_base: int
+) -> dict:
     hz = os.sysconf("SC_CLK_TCK")
     # snapshot the window BEFORE the post-probe runs, so the probe's own
     # CPU (fork children, dead before _tree_cpu_sec could see them) is
@@ -131,21 +148,31 @@ def _sentinel_close(pre: dict, fixture_gen_sec: float, cpus: int) -> dict:
     # fields: user nice system idle iowait irq softirq steal guest gn
     busy = d[0] + d[1] + d[2] + d[5] + d[6]
     steal_pct = 100.0 * d[7] / total
-    foreign_busy_pct = max(0.0, 100.0 * (busy / hz - own_sec) / max(wall * cpus, 1e-9))
-    alu_floor = 0.65 * _ALU_REF_MFLOPS
-    fixture_drift = fixture_gen_sec / _FIXTURE_GEN_REF_SEC
+    # capacity denominator = MACHINE cores (busy jiffies span all of
+    # them), never the SPARK_GRAFT_CPUS knob — at cpus=4 on a 32-core
+    # box the knob would inflate background daemons 8x into a false flag
+    ncores = os.cpu_count() or cpus
+    foreign_busy_pct = max(
+        0.0, 100.0 * (busy / hz - own_sec) / max(wall * ncores, 1e-9)
+    )
+    alu_ref = _ALU_REF_MFLOPS_PER_WORKER * cpus
+    fixture_drift = (
+        round(fixture_gen_sec / _FIXTURE_GEN_REF_SEC, 2)
+        if n_base == _FIXTURE_GEN_REF_NBASE
+        else None
+    )
     contended = (
         steal_pct > 2.0
         or foreign_busy_pct > 5.0
-        or max(pre["alu_pre"], alu_post) < alu_floor
+        or max(pre["alu_pre"], alu_post) < 0.65 * alu_ref
     )
     return {
         "alu_mflops_pre": round(pre["alu_pre"], 0),
         "alu_mflops_post": round(alu_post, 0),
-        "alu_mflops_ref": _ALU_REF_MFLOPS,
+        "alu_mflops_ref": round(alu_ref, 0),
         "steal_pct": round(steal_pct, 2),
         "foreign_busy_pct": round(foreign_busy_pct, 2),
-        "fixture_gen_drift": round(fixture_drift, 2),
+        "fixture_gen_drift": fixture_drift,
         "contended": contended,
     }
 
@@ -333,7 +360,9 @@ def main() -> None:
         "n_pages": n_records,
         "n_candidate_pairs": n_pairs,
         "total_sec": round(time.time() - t0_all, 3),
-        "sentinel": _sentinel_close(sentinel_pre, queries["fixture_gen"], cpus),
+        "sentinel": _sentinel_close(
+            sentinel_pre, queries["fixture_gen"], cpus, n_base
+        ),
     }
     print(json.dumps(out))
     sys.stdout.flush()

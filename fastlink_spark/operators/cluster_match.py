@@ -102,13 +102,17 @@ def _pandas_assign(centroids: list[list[float]]):
 
     @F.pandas_udf("int")
     def assign(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype="int32")
-        X = np.asarray(v.tolist(), dtype=np.float64)
-        out = np.empty(len(X), dtype=np.int32)
-        for s in range(0, len(X), _NP_CHUNK):
-            out[s : s + _NP_CHUNK] = _np_dists(X[s : s + _NP_CHUNK], C).argmin(axis=1)
-        return pd.Series(out)
+        # null vec -> null cluster, matching the codegen path (null
+        # distance terms -> array_min null -> array_position null)
+        mask = v.notna().to_numpy()
+        res = pd.array([None] * len(v), dtype="Int32")
+        if mask.any():
+            X = np.asarray(v[mask].tolist(), dtype=np.float64)
+            out = np.empty(len(X), dtype=np.int32)
+            for s in range(0, len(X), _NP_CHUNK):
+                out[s : s + _NP_CHUNK] = _np_dists(X[s : s + _NP_CHUNK], C).argmin(axis=1)
+            res[mask] = out
+        return pd.Series(res)
 
     return assign
 
@@ -121,13 +125,17 @@ def _pandas_min_dist(centroids: list[list[float]]):
 
     @F.pandas_udf("double")
     def min_dist(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype="float64")
-        X = np.asarray(v.tolist(), dtype=np.float64)
-        out = np.empty(len(X), dtype=np.float64)
-        for s in range(0, len(X), _NP_CHUNK):
-            out[s : s + _NP_CHUNK] = _np_dists(X[s : s + _NP_CHUNK], C).min(axis=1)
-        return pd.Series(out)
+        # null vec -> null distance (NOT NaN: Arrow NaN is a value,
+        # codegen yields SQL NULL), matching the codegen path
+        mask = v.notna().to_numpy()
+        res = pd.array([None] * len(v), dtype="Float64")
+        if mask.any():
+            X = np.asarray(v[mask].tolist(), dtype=np.float64)
+            out = np.empty(len(X), dtype=np.float64)
+            for s in range(0, len(X), _NP_CHUNK):
+                out[s : s + _NP_CHUNK] = _np_dists(X[s : s + _NP_CHUNK], C).min(axis=1)
+            res[mask] = out
+        return pd.Series(res)
 
     return min_dist
 

@@ -491,7 +491,10 @@ class IncrementalLinker:
         self._commit_manifest(committed)
         self._gc_unreferenced(committed)
         # serve the batch's rows from COMMITTED state, not scratch —
-        # the caller may hold this frame long after mat.close()
+        # the frame outlives mat.close(), and stays readable until the
+        # next compact() retires this segment (same VACUUM contract as
+        # expiring Iceberg snapshots: materialize before compacting if
+        # you need it longer)
         return self.spark.read.parquet(self._path(ent_seg)).drop("_seq")
 
     def compact(self) -> DataFrame | None:
@@ -513,7 +516,12 @@ class IncrementalLinker:
         fresh ``seg_<seq>_compact_*`` segments and published by the
         same atomic manifest rename as a batch — a crash mid-compact
         leaves the pre-compact state fully intact; the retired
-        segments are garbage-collected after the commit."""
+        segments are garbage-collected after the commit. NOTE the
+        VACUUM contract: that GC invalidates DataFrames handed out by
+        earlier process_batch()/entities() calls (their lazy plans
+        point at retired segment dirs) — the same semantics as
+        expiring Iceberg snapshots; materialize anything you need
+        across a compaction."""
         manifest = self._load_manifest()
         records = self._read_segments(manifest, "records")
         if records is None:
@@ -570,7 +578,13 @@ class IncrementalLinker:
         labels = connected_components(
             edges, records.select(F.col("rec_id").alias("id")), materializer=mat
         )
-        seq = manifest["seq"]
+        # compaction BUMPS seq: reusing manifest['seq'] would name the
+        # staged segments identically to a previous compact's LIVE
+        # committed segments when no batch ran in between — the
+        # mode=overwrite staging write would then delete directories
+        # the current manifest still references, exactly the corruption
+        # the pointer protocol exists to prevent (r5 review finding)
+        seq = manifest["seq"] + 1
         stamp = F.lit(seq).cast("long")
         new_ent = (
             labels.withColumnRenamed("id", "rec_id")
@@ -587,7 +601,7 @@ class IncrementalLinker:
         records.write.mode("overwrite").parquet(self._path(rec_seg))
         committed = {
             "version": 2,
-            "seq": seq,
+            "seq": seq,  # bumped: the compacted rows supersede everything
             "last_batch_id": manifest["last_batch_id"],
             "records": [rec_seg],
             "entities": [ent_seg],

@@ -189,6 +189,67 @@ def test_crash_mid_compact_preserves_state(spark, tmp_path, monkeypatch):
     assert _ent_rows(linker) == pre_rows  # partition unchanged by compaction
 
 
+def test_compact_twice_no_segment_collision(spark, tmp_path):
+    """Two compact() calls with no intervening batch: the second must
+    stage under a FRESH seq (a reused seq would name its overwrite-mode
+    staging writes identically to the LIVE committed segments and
+    delete them mid-stage — r5 review finding). Entities must survive
+    both compactions unchanged."""
+    from fastlink_spark.plans.pipeline import LinkageConfig
+    from fastlink_spark.streaming.incremental import IncrementalLinker
+
+    t1 = " ".join(_RECRAWL_TOKENS)
+    cfg = LinkageConfig(threshold=0.5)
+    st = str(tmp_path / "st")
+    linker = IncrementalLinker(spark, st, _toy_em(), cfg)
+    linker.process_batch(
+        _mk_pages4(
+            spark,
+            [
+                ("https://hostone.example.com/a", "t", t1),
+                ("https://hostone.example.com/b", "t", t1),
+            ],
+        )
+    )
+    rows0 = _ent_rows(linker)
+    linker.compact()
+    segs1 = set(_manifest(st)["entities"]) | set(_manifest(st)["records"])
+    assert _ent_rows(linker) == rows0
+    linker.compact()
+    m2 = _manifest(st)
+    segs2 = set(m2["entities"]) | set(m2["records"])
+    assert segs1.isdisjoint(segs2), "second compact must not reuse live segment names"
+    assert _ent_rows(linker) == rows0
+    # and the retired first-compact segments are GC'd
+    on_disk = {d for d in os.listdir(st) if d.startswith("seg_")}
+    assert on_disk == segs2
+
+
+def test_cluster_match_pandas_path_null_vec_matches_codegen(spark, monkeypatch):
+    """A NULL feature vector must yield a NULL cluster on BOTH
+    assignment paths (codegen: null distance terms -> null argmin; the
+    pandas path used to crash on the ragged list — r5 review
+    finding)."""
+    import fastlink_spark.operators.cluster_match as cm
+
+    feats = spark.createDataFrame(
+        [(1, [1] * 27), (2, None), (3, [5] * 27)],
+        "rec_id long, lf_vec array<long>",
+    )
+    cents = [[0.0] * 27, [4.0] * 27]
+    monkeypatch.setattr(cm, "CODEGEN_MAX_TERMS", 10**9)
+    cg = {r["rec_id"]: r["cluster"] for r in cm.assign_clusters(feats, cents).collect()}
+    monkeypatch.setattr(cm, "CODEGEN_MAX_TERMS", 1)
+    np_ = {r["rec_id"]: r["cluster"] for r in cm.assign_clusters(feats, cents).collect()}
+    assert cg == {1: 0, 2: None, 3: 1}
+    assert np_ == cg
+    # the kmeanspp seeding statistic mirrors the same null semantics
+    d = cm._pandas_min_dist(cents)
+    got = feats.select("rec_id", d(F.col("lf_vec")).alias("d")).collect()
+    by = {r["rec_id"]: r["d"] for r in got}
+    assert by[2] is None and by[1] is not None
+
+
 # --------------------------- scratch lifecycle
 
 
