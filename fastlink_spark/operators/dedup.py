@@ -63,10 +63,24 @@ def _bucket_pairs(
 
 
 def exact_dup_groups(
-    df: DataFrame, id_col: str, text_col: str, *, max_ids: int | None = None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_ids: int | None = None,
+    wide_hash: bool = False,
 ) -> DataFrame:
     """Exact duplicates by full-text hash: (text_hash, n_dups, doc_ids).
-    One shuffle; at 100TB use the 128-bit variant (xxhash64 two seeds).
+    One shuffle.
+
+    ``wide_hash``: group on the 128-bit two-seed key (hex string, the
+    same construction corpus_dedup and wide_rec_id use) instead of one
+    xxhash64. At 10^12-doc scale a single 64-bit key has ~1e4 expected
+    birthday collisions, each silently merging UNRELATED documents into
+    one "exact duplicate" group — a training pipeline would then delete
+    non-duplicates (r5 review finding: the docstring prescribed the
+    variant but nothing implemented it). 64-bit is exact at every test
+    SF; flip this on at corpus scale.
 
     ``max_ids``: cap on the per-group member list. The default (None,
     exact full lists) materializes each group's ids in ONE row — fine
@@ -75,7 +89,14 @@ def exact_dup_groups(
     ``n_dups`` stays exact (separate count agg), the member list keeps
     the first ``max_ids`` ids by sort order via a spill-friendly window
     (no unbounded array ever built)."""
-    h = df.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("text_hash")).where(
+    if wide_hash:
+        th = F.concat(
+            F.lpad(F.hex(F.xxhash64(F.col(text_col))), 16, "0"),
+            F.lpad(F.hex(F.xxhash64(F.lit("text_hash_hi"), F.col(text_col))), 16, "0"),
+        )
+    else:
+        th = F.xxhash64(F.col(text_col))
+    h = df.select(F.col(id_col), th.alias("text_hash")).where(
         F.col(text_col).isNotNull()
     )
     if max_ids is None:
@@ -300,6 +321,15 @@ def simhash_pairs_multi(
 
     hash_impl='md5' + bits=60 gives the oracle-twin fingerprint (DuckDB
     computes the identical value — see simhash.md5_hash60)."""
+    if max_hamming > n_tables - 1:
+        # the pigeonhole guarantee is exactly max_hamming <= n_tables-1;
+        # beyond it pairs can differ in EVERY slice and silently vanish
+        # while the docstring promises exact recall (r5 review finding)
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole recall bound "
+            f"n_tables-1={n_tables - 1}; raise n_tables (recall at radius r "
+            "is guaranteed only for r <= n_tables-1)"
+        )
     fp = _simhash_fingerprints(df, id_col, text_col, hash_impl=hash_impl, materializer=materializer)
     per = bits // n_tables
     # per-table keys built explicitly: n_tables is tiny, the union is

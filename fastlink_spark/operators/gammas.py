@@ -73,9 +73,20 @@ def gamma_string(
 def gamma_numeric(
     a: Column, b: Column, cut_full: float, cut_partial: float | None = None
 ) -> Column:
-    """gammaNUMCKpar: |a-b| <= cut_full -> 2; <= cut_partial -> 1; else 0."""
-    d = F.abs(a.cast("double") - b.cast("double"))
-    g = F.when(a.isNull() | b.isNull(), F.lit(None)).when(d <= F.lit(cut_full), F.lit(2))
+    """gammaNUMCKpar: |a-b| <= cut_full -> 2; <= cut_partial -> 1; else 0.
+
+    NA handling matches the reference's coercion semantics: a value
+    that is null, fails numeric coercion (``try_cast`` — a placeholder
+    string like 'unknown' is MAR-missing, not a hard disagreement; a
+    plain cast under Spark 4 ANSI would THROW on it), or is NaN yields
+    gamma null. Checking the DISTANCE for null (not the raw inputs)
+    covers all three in one predicate (r5 review finding: the old
+    input-null check let coercion failures fall through to 0,
+    biasing the EM's u-probabilities on dirty numeric fields)."""
+    d = F.abs(a.try_cast("double") - b.try_cast("double"))
+    g = F.when(d.isNull() | F.isnan(d), F.lit(None)).when(
+        d <= F.lit(cut_full), F.lit(2)
+    )
     if cut_partial is not None:
         g = g.when(d <= F.lit(cut_partial), F.lit(1))
     return g.otherwise(F.lit(0)).cast("int")
@@ -111,8 +122,25 @@ class FieldSpec:
 
     name: str
     kind: str = "string"
-    cut_full: float = CUT_FULL
+    cut_full: float | None = None  # None -> CUT_FULL for similarity kinds
     cut_partial: float | None = CUT_PARTIAL
+
+    def _cut_full(self) -> float:
+        """Resolved full cut. Similarity kinds default to CUT_FULL
+        (0.94 JW). Numeric kinds get NO default: their cut is an
+        absolute-DISTANCE window, and silently reinterpreting the
+        similarity default as |a-b| <= 0.94 is a misconfiguration that
+        degenerates to exact-match on integer fields (r5 review
+        finding — same trap class _numeric_partial guards)."""
+        if self.cut_full is not None:
+            return self.cut_full
+        if self.kind == "numeric":
+            raise ValueError(
+                f"FieldSpec({self.name!r}, 'numeric') requires an explicit "
+                "cut_full distance window (the shared similarity default "
+                "0.94 is a JW threshold, not a distance)"
+            )
+        return CUT_FULL
 
     def _numeric_partial(self) -> float | None:
         """Numeric cuts are DISTANCE windows (partial must be WIDER
@@ -120,7 +148,7 @@ class FieldSpec:
         shared cut_partial default (0.88, a JW threshold) would make
         level 1 unreachable for any cut_full >= 0.88. Treat a partial
         window not strictly wider than full as 'no partial level'."""
-        if self.cut_partial is not None and self.cut_partial > self.cut_full:
+        if self.cut_partial is not None and self.cut_partial > self._cut_full():
             return self.cut_partial
         return None
 
@@ -130,7 +158,7 @@ class FieldSpec:
         cut_full (the full cut is checked first). A partial cut at or
         above full is 'no partial level' — advertising it would be
         exactly the phantom-universe hazard the numeric guard closes."""
-        if self.cut_partial is not None and self.cut_partial < self.cut_full:
+        if self.cut_partial is not None and self.cut_partial < self._cut_full():
             return self.cut_partial
         return None
 
@@ -154,19 +182,19 @@ class FieldSpec:
         if self.kind == "exact":
             return gamma_exact(a, b)
         if self.kind == "string":
-            return gamma_string(a, b, self.cut_full, self._similarity_partial())
+            return gamma_string(a, b, self._cut_full(), self._similarity_partial())
         if self.kind == "string2":
-            return gamma_string(a, b, self.cut_full, None)
+            return gamma_string(a, b, self._cut_full(), None)
         if self.kind == "levenshtein":
             return gamma_from_sim(
-                levenshtein_sim(a, b), self.cut_full, self._similarity_partial()
+                levenshtein_sim(a, b), self._cut_full(), self._similarity_partial()
             )
         if self.kind == "dl":
-            return gamma_from_sim(dl_udf(a, b), self.cut_full, self._similarity_partial())
+            return gamma_from_sim(dl_udf(a, b), self._cut_full(), self._similarity_partial())
         if self.kind == "soundex":
             return gamma_soundex(a, b)
         if self.kind == "numeric":
-            return gamma_numeric(a, b, self.cut_full, self._numeric_partial())
+            return gamma_numeric(a, b, self._cut_full(), self._numeric_partial())
         raise ValueError(f"unknown field kind: {self.kind}")
 
 

@@ -42,12 +42,16 @@ MAX_SALTS = 4_096
 
 
 def _salt_plan(profile: DataFrame, skew_threshold: int, target: int) -> DataFrame:
-    """(block_key, n) -> (block_key, s_cnt) for blocks needing S>1."""
+    """(block_key, n) -> (block_key, __s_cnt) for blocks needing S>1.
+
+    All internal working columns in this module are __-prefixed so a
+    caller's attribute column named e.g. ``salt`` or ``i`` is never
+    silently clobbered into the a_*/b_* output (r5 review finding)."""
     return (
         profile.filter(F.col("n") > skew_threshold)
         .select(
             "block_key",
-            F.least(F.ceil(F.col("n") / target), F.lit(MAX_SALTS)).cast("int").alias("s_cnt"),
+            F.least(F.ceil(F.col("n") / target), F.lit(MAX_SALTS)).cast("int").alias("__s_cnt"),
         )
     )
 
@@ -72,13 +76,16 @@ def candidate_pairs(
     pair under several keys; ``dedupe_pairs`` keeps one winner via
     dropDuplicates on the canonical pair id (SURVEY.md O2).
     """
-    profile = blocked.groupBy("block_key").agg(F.count("*").alias("n"))
-    plan = _salt_plan(profile, skew_threshold, target_block)
+    from .blocking import block_profile  # shared (block_key, n) definition
+
+    plan = _salt_plan(block_profile(blocked), skew_threshold, target_block)
 
     rows = (
         blocked.join(F.broadcast(plan), "block_key", "left")
-        .withColumn("s_cnt", F.coalesce(F.col("s_cnt"), F.lit(1)))
-        .withColumn("salt", F.pmod(F.xxhash64(F.col(id_col)), F.col("s_cnt")).cast("int"))
+        .withColumn("__s_cnt", F.coalesce(F.col("__s_cnt"), F.lit(1)))
+        .withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.col("__s_cnt")).cast("int")
+        )
     )
 
     attr_cols = [c for c in blocked.columns if c not in ("block_key",)]
@@ -87,19 +94,19 @@ def candidate_pairs(
     # (sa in [0, y], y). Per-row fan-out totals S+1 across the two
     # sides — slim rows, and only for blocks the plan actually salts.
     a = rows.withColumn(
-        "sb", F.explode(F.sequence(F.col("salt"), F.col("s_cnt") - F.lit(1)))
+        "__sb", F.explode(F.sequence(F.col("__salt"), F.col("__s_cnt") - F.lit(1)))
     ).select(
-        F.col("block_key").alias("a_bk"),
-        F.col("salt").alias("sa"),
-        F.col("sb").cast("int").alias("sb"),
+        F.col("block_key").alias("__bk_a"),
+        F.col("__salt").alias("__sa"),
+        F.col("__sb").cast("int").alias("__sb"),
         *[F.col(c).alias(f"a_{c}") for c in attr_cols],
     )
     b = rows.withColumn(
-        "sa", F.explode(F.sequence(F.lit(0), F.col("salt")))
+        "__sa", F.explode(F.sequence(F.lit(0), F.col("__salt")))
     ).select(
-        F.col("block_key").alias("b_bk"),
-        F.col("sa").cast("int").alias("b_sa"),
-        F.col("salt").alias("b_sb"),
+        F.col("block_key").alias("__bk_b"),
+        F.col("__sa").cast("int").alias("__sa_b"),
+        F.col("__salt").alias("__sb_b"),
         *[F.col(c).alias(f"b_{c}") for c in attr_cols],
     )
     # Oriented triangle: each unordered pair is produced exactly once —
@@ -113,14 +120,17 @@ def candidate_pairs(
     pairs = a.join(
         b,
         on=[
-            F.col("a_bk") == F.col("b_bk"),
-            F.col("sa") == F.col("b_sa"),
-            F.col("sb") == F.col("b_sb"),
-            (F.col("sa") < F.col("sb"))
-            | ((F.col("sa") == F.col("sb")) & (F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))),
+            F.col("__bk_a") == F.col("__bk_b"),
+            F.col("__sa") == F.col("__sa_b"),
+            F.col("__sb") == F.col("__sb_b"),
+            (F.col("__sa") < F.col("__sb"))
+            | (
+                (F.col("__sa") == F.col("__sb"))
+                & (F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
+            ),
         ],
         how="inner",
-    ).drop("sa", "sb", "b_sa", "b_sb", "a_bk", "b_bk")
+    ).drop("__sa", "__sb", "__sa_b", "__sb_b", "__bk_a", "__bk_b")
 
     # canonicalize to id_a < id_b (swap whole attr sets where needed)
     swap = F.col(f"a_{id_col}") > F.col(f"b_{id_col}")
@@ -164,16 +174,19 @@ def candidate_pairs_two(
     Inputs: (block_key, id, attrs...) per side; outputs a_*/b_* columns.
     """
     prof = (
-        blocked_a.groupBy("block_key").agg(F.count("*").alias("na"))
-        .join(blocked_b.groupBy("block_key").agg(F.count("*").alias("nb")), "block_key")
-        .withColumn("n", F.col("na") + F.col("nb"))
+        blocked_a.groupBy("block_key").agg(F.count("*").alias("__na"))
+        .join(
+            blocked_b.groupBy("block_key").agg(F.count("*").alias("__nb")),
+            "block_key",
+        )
+        .withColumn("__n", F.col("__na") + F.col("__nb"))
     )
     plan = (
-        prof.filter(F.col("n") > skew_threshold)
+        prof.filter(F.col("__n") > skew_threshold)
         .select(
             "block_key",
-            F.least(F.ceil(F.col("na") / target_block), F.lit(MAX_SALTS)).cast("int").alias("s_cnt"),
-            F.least(F.ceil(F.col("nb") / target_block), F.lit(MAX_SALTS)).cast("int").alias("t_cnt"),
+            F.least(F.ceil(F.col("__na") / target_block), F.lit(MAX_SALTS)).cast("int").alias("__s_cnt"),
+            F.least(F.ceil(F.col("__nb") / target_block), F.lit(MAX_SALTS)).cast("int").alias("__t_cnt"),
         )
     )
 
@@ -182,39 +195,43 @@ def candidate_pairs_two(
 
     a = (
         blocked_a.join(F.broadcast(plan), "block_key", "left")
-        .withColumn("s_cnt", F.coalesce(F.col("s_cnt"), F.lit(1)))
-        .withColumn("t_cnt", F.coalesce(F.col("t_cnt"), F.lit(1)))
-        .withColumn("i", F.pmod(F.xxhash64(F.col(id_col)), F.col("s_cnt")).cast("int"))
-        .withColumn("j", F.explode(F.sequence(F.lit(0), F.col("t_cnt") - F.lit(1))))
+        .withColumn("__s_cnt", F.coalesce(F.col("__s_cnt"), F.lit(1)))
+        .withColumn("__t_cnt", F.coalesce(F.col("__t_cnt"), F.lit(1)))
+        .withColumn(
+            "__i", F.pmod(F.xxhash64(F.col(id_col)), F.col("__s_cnt")).cast("int")
+        )
+        .withColumn("__j", F.explode(F.sequence(F.lit(0), F.col("__t_cnt") - F.lit(1))))
         .select(
-            "block_key",
-            "i",
-            F.col("j").cast("int").alias("j"),
+            F.col("block_key").alias("__bk_a"),
+            "__i",
+            F.col("__j").cast("int").alias("__j"),
             *[F.col(c).alias(f"a_{c}") for c in a_cols],
         )
     )
     b = (
         blocked_b.join(F.broadcast(plan), "block_key", "left")
-        .withColumn("s_cnt", F.coalesce(F.col("s_cnt"), F.lit(1)))
-        .withColumn("t_cnt", F.coalesce(F.col("t_cnt"), F.lit(1)))
-        .withColumn("j", F.pmod(F.xxhash64(F.col(id_col)), F.col("t_cnt")).cast("int"))
-        .withColumn("i", F.explode(F.sequence(F.lit(0), F.col("s_cnt") - F.lit(1))))
+        .withColumn("__s_cnt", F.coalesce(F.col("__s_cnt"), F.lit(1)))
+        .withColumn("__t_cnt", F.coalesce(F.col("__t_cnt"), F.lit(1)))
+        .withColumn(
+            "__j", F.pmod(F.xxhash64(F.col(id_col)), F.col("__t_cnt")).cast("int")
+        )
+        .withColumn("__i", F.explode(F.sequence(F.lit(0), F.col("__s_cnt") - F.lit(1))))
         .select(
-            F.col("block_key").alias("b_bk"),
-            F.col("i").cast("int").alias("b_i"),
-            F.col("j").alias("b_j"),
+            F.col("block_key").alias("__bk_b"),
+            F.col("__i").cast("int").alias("__i_b"),
+            F.col("__j").alias("__j_b"),
             *[F.col(c).alias(f"b_{c}") for c in b_cols],
         )
     )
     pairs = a.join(
         b,
         on=[
-            F.col("block_key") == F.col("b_bk"),
-            F.col("i") == F.col("b_i"),
-            F.col("j") == F.col("b_j"),
+            F.col("__bk_a") == F.col("__bk_b"),
+            F.col("__i") == F.col("__i_b"),
+            F.col("__j") == F.col("__j_b"),
         ],
         how="inner",
-    ).drop("block_key", "b_bk", "i", "j", "b_i", "b_j")
+    ).drop("__bk_a", "__bk_b", "__i", "__j", "__i_b", "__j_b")
     if dedupe_pairs:
         pairs = pairs.dropDuplicates([f"a_{id_col}", f"b_{id_col}"])
     return pairs

@@ -47,7 +47,9 @@ def test_minhash_and_jaccard(spark):
 
 
 def test_simhash_multi(spark):
-    out = simhash_pairs_multi(_docs(spark), "doc_id", "text", max_hamming=8)
+    # n_tables must satisfy the pigeonhole bound max_hamming <= n_tables-1
+    # (r5: radii beyond the bound now raise instead of silently losing recall)
+    out = simhash_pairs_multi(_docs(spark), "doc_id", "text", max_hamming=8, n_tables=9)
     d = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
     assert d[(1, 2)] == 0
     assert (1, 3) in d  # near dup within hamming 8

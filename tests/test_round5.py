@@ -417,6 +417,86 @@ def test_entities_tiebreak_deterministic(spark, tmp_path):
     assert got[0]["url"] == want["url"]  # same row, not mixed
 
 
+# --------------------------- review pass 2 fixes (operators)
+
+
+def test_gamma_numeric_coercion_failures_are_na(spark):
+    """Null, non-numeric (try_cast null) and NaN values must yield
+    gamma NULL (MAR-missing), never 0 — the old input-null check let
+    coercion failures fall through to hard-disagreement, biasing the
+    EM's u-probabilities on dirty numeric fields (r5 review)."""
+    from fastlink_spark.operators.gammas import gamma_numeric
+
+    df = spark.createDataFrame(
+        [
+            ("1.0", "1.5"),      # within full window
+            ("1.0", "9.9"),      # disagree
+            ("unknown", "2.0"),  # coercion failure -> NA
+            (None, "2.0"),       # null -> NA
+            ("NaN", "2.0"),      # NaN -> NA
+        ],
+        "a_x string, b_x string",
+    )
+    got = [
+        r["g"]
+        for r in df.select(
+            gamma_numeric(F.col("a_x"), F.col("b_x"), cut_full=1.0).alias("g")
+        ).collect()
+    ]
+    assert got == [2, 0, None, None, None]
+
+
+def test_numeric_fieldspec_requires_explicit_cut_full():
+    from fastlink_spark.operators.gammas import FieldSpec
+
+    with pytest.raises(ValueError, match="explicit"):
+        FieldSpec("price", "numeric").possible_levels()
+    # similarity kinds keep the shared default
+    assert FieldSpec("title").possible_levels() == [0, 1, 2]
+
+
+def test_candidate_pairs_attr_named_salt_survives(spark):
+    """Input attribute columns named like the join's internal working
+    columns (salt/sa/sb, i/j) must come through a_*/b_* untouched —
+    they used to be clobbered by the salting machinery (r5 review)."""
+    from fastlink_spark.operators.pairs import candidate_pairs, candidate_pairs_two
+
+    blocked = spark.createDataFrame(
+        [("k", i, f"v{i}", i * 10) for i in range(6)],
+        "block_key string, rec_id long, salt string, i long",
+    )
+    out = candidate_pairs(blocked).collect()
+    assert len(out) == 15  # C(6,2)
+    for r in out:
+        assert r["a_salt"] == f"v{r['a_rec_id']}" and r["b_salt"] == f"v{r['b_rec_id']}"
+        assert r["a_i"] == r["a_rec_id"] * 10 and r["b_i"] == r["b_rec_id"] * 10
+    two = candidate_pairs_two(blocked, blocked).collect()
+    assert len(two) == 36
+    for r in two:
+        assert r["a_salt"] == f"v{r['a_rec_id']}" and r["b_salt"] == f"v{r['b_rec_id']}"
+
+
+def test_exact_dup_groups_wide_hash(spark):
+    from fastlink_spark.operators.dedup import exact_dup_groups
+
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = exact_dup_groups(docs, "doc_id", "text", wide_hash=True).collect()
+    assert len(out) == 1
+    assert out[0]["n_dups"] == 2 and out[0]["doc_ids"] == [1, 2]
+    assert isinstance(out[0]["text_hash"], str) and len(out[0]["text_hash"]) == 32
+
+
+def test_simhash_radius_beyond_pigeonhole_raises(spark):
+    from fastlink_spark.operators.dedup import simhash_pairs_multi
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs_multi(docs, "doc_id", "text", max_hamming=4, n_tables=4)
+
+
 # --------------------------- ADVICE r4 low fixes
 
 
