@@ -320,13 +320,36 @@ def link_dedupe(
     # the fit gets sample-mode regularization below (ADVICE r4:
     # sample_fraction=1.0 used to skip the sample yet still perturb the
     # fit with level_universe + dirichlet pseudo-counts)
+    if cfg.sample_fraction is not None and not (0 < cfg.sample_fraction <= 1):
+        raise ValueError(
+            f"sample_fraction={cfg.sample_fraction} must be in (0, 1] "
+            "(1.0 = fit on everything; a percentage like 15 is not a fraction)"
+        )
     sampled = cfg.sample_fraction is not None and 0 < cfg.sample_fraction < 1
     fit_src = scored.sample(cfg.sample_fraction, seed=42) if sampled else scored
-    fit_patterns = gammas.pattern_counts(fit_src, fields).toPandas()
+    # SORT before fitting: emlink_mar's float accumulation is row-order
+    # dependent and groupBy().toPandas() order is shuffle-
+    # nondeterministic — without this the fitted EM differs in the last
+    # ulp across identical runs (r5 review, reproduced; the oracle twin
+    # _fit_em sorts for the same reason). na_position pins NA patterns.
+    fit_patterns = (
+        gammas.pattern_counts(fit_src, fields)
+        .toPandas()
+        .sort_values(gcols, na_position="last")
+        .reset_index(drop=True)
+    )
 
-    # em checkpoint is config-keyed: a config change must invalidate it
-    # like any other stage (stale-EM-on-resume bug otherwise)
-    em_key = f"em_{cfg.token()}"
+    # em checkpoint is keyed on the config hash AND the pairs_gamma
+    # content fingerprint (r5 review): every parquet stage chains
+    # upstream fingerprints, so without the data term here a resumed
+    # run over CHANGED input would rebuild the pattern table yet serve
+    # the stale EM fit — silently scoring new data with old m/u/lambda.
+    # A fingerprint bump also retires any pre-r5 checkpoint written
+    # under the old sample_fraction=1.0 perturbed-fit semantics.
+    import hashlib as _hashlib
+
+    _fp = ckpt.fingerprints.get("pairs_gamma", "")
+    em_key = f"em_{cfg.token()}_{_hashlib.md5(_fp.encode()).hexdigest()[:12]}"
     em_json = ckpt.get_json(em_key)
     if em_json is not None:
         em = em_mod.EMResult.from_json(em_json)

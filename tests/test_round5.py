@@ -524,6 +524,39 @@ def test_similarity_partial_not_phantom(spark):
     assert {r["gamma_x"] for r in g_deg} <= {0, 2, None}
 
 
+def test_sample_fraction_validation(spark):
+    from fastlink_spark.plans.pipeline import LinkageConfig, link_dedupe
+    from fastlink_spark.sources.fixtures import generate_pages
+
+    pages = spark.createDataFrame(generate_pages(n_base=10).pages)
+    for bad in (0.0, -0.5, 15):
+        with pytest.raises(ValueError, match="sample_fraction"):
+            link_dedupe(spark, pages, LinkageConfig(sample_fraction=bad))
+
+
+def test_em_checkpoint_invalidated_by_changed_input(spark, tmp_path):
+    """The EM checkpoint key chains the pairs_gamma content fingerprint
+    (r5 review): re-running the same config over CHANGED input must
+    re-fit, not serve the stale EM. Same-input resume still hits."""
+    import glob
+
+    from fastlink_spark.plans.pipeline import LinkageConfig, link_dedupe
+    from fastlink_spark.sources.fixtures import generate_pages
+
+    ck = str(tmp_path / "ck")
+    cfg = LinkageConfig(checkpoint_dir=ck)
+    p1 = spark.createDataFrame(generate_pages(n_base=40, seed=1).pages)
+    p2 = spark.createDataFrame(generate_pages(n_base=40, seed=2).pages)
+    r1 = link_dedupe(spark, p1, cfg)
+    n_em1 = len(glob.glob(f"{ck}/em_*.json"))
+    r1b = link_dedupe(spark, p1, cfg)  # same data: EM checkpoint hit
+    assert len(glob.glob(f"{ck}/em_*.json")) == n_em1
+    assert r1.em.to_json() == r1b.em.to_json()
+    r2 = link_dedupe(spark, p2, cfg)  # changed data: fresh EM key + fit
+    assert len(glob.glob(f"{ck}/em_*.json")) == n_em1 + 1
+    assert r2.em.to_json() != r1.em.to_json()
+
+
 def test_sample_fraction_one_fits_like_full(spark, tmp_path):
     """sample_fraction=1.0 performs no sampling, so it must fit the EM
     exactly like sample_fraction=None — no level_universe/dirichlet
