@@ -1313,7 +1313,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q19_ivf_topk": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
-            "cent AS (SELECT vec_id AS cell, v AS cvec FROM e ORDER BY vec_id ASC LIMIT 16), "
+            "cent AS (SELECT vec_id AS cell, v AS cvec FROM e WHERE v IS NOT NULL "
+            "  ORDER BY vec_id ASC LIMIT 16), "
             "ca AS (SELECT vec_id, cell FROM ("
             "  SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id "
             "    ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.cell ASC) AS r "

@@ -97,13 +97,16 @@ def connected_components(
     ).where(F.col("u") != F.col("v")).distinct()
     e = mat(e, "cc_edges")
 
-    n_edges = e.count()
+    # ONE aggregation pass serves both the iteration bound and the
+    # convergence fingerprint (r5 review: count() + fingerprint were
+    # two full scans of the materialized edge set)
+    from ..plans.checkpoint import content_fingerprint
+
+    n_edges, prev = content_fingerprint(e)
     if max_iter is None:
         # large/small-star converges in O(log^2 n) worst case, ~log n in
         # practice; generous bound, asserted below.
         max_iter = max(10, 2 * int(math.log2(max(n_edges, 2))) + 10)
-
-    prev = _fingerprint(e)
     converged = False
     for it in range(1, max_iter + 1):
         e2 = _small_star(_large_star(e))

@@ -91,8 +91,14 @@ def ivf_topk(
     """
     v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     order_key = F.xxhash64("id") if centroid_rule == "hash" else F.col("id")
+    # seed from NON-NULL vectors only (r5 review): a null-vec seed is a
+    # dead cell at best, and with refinement on, null seeds were
+    # dropped from the centroid map — all-null seeds (e.g. earliest
+    # ingested rows failed embedding) collapsed the table to EMPTY and
+    # returned zero neighbors for a non-empty corpus.
     cent = (
-        v.withColumn("h", order_key)
+        v.where(F.col("vec").isNotNull())
+        .withColumn("h", order_key)
         .orderBy("h", "id")
         .limit(n_cells)
         .select(F.col("id").alias("cell"), F.col("vec").alias("cvec"))
@@ -115,7 +121,8 @@ def ivf_topk(
         }
         cell_type = dict(cent.dtypes)["cell"] if cent_map else "long"
         if not cent_map:
-            refine_iters = 0
+            refine_iters = -1  # sentinel: keep the ORIGINAL cent table
+                               # (never rebuild from an empty map)
         for _ in range(refine_iters):
             cdf = spark.createDataFrame(
                 list(cent_map.items()), f"cell {cell_type}, cvec array<double>"
@@ -130,9 +137,10 @@ def ivf_topk(
                 mean = [r[f"m{i}"] for i in range(d)]
                 if all(m is not None for m in mean):
                     cent_map[r["cell"]] = [float(m) for m in mean]
-        cent = spark.createDataFrame(
-            list(cent_map.items()), f"cell {cell_type}, cvec array<double>"
-        )
+        if refine_iters >= 0:
+            cent = spark.createDataFrame(
+                list(cent_map.items()), f"cell {cell_type}, cvec array<double>"
+            )
     corpus_cells = _assign_cells(v, cent, 1).select(
         F.col("cell"), F.col("id").alias("neighbor_id"), F.col("vec").alias("cv")
     )

@@ -58,6 +58,18 @@ def content_fingerprint(df: DataFrame) -> tuple[int, str]:
 
 class CheckpointManager:
     def __init__(self, spark: SparkSession, root: str | None, config_token: str = ""):
+        if root is not None and "://" in root:
+            # manifest/json IO here is os-path based (open/exists/
+            # rmtree) — a URI root would write parquet remotely but
+            # then crash (or silently skip the orphan wipe) on the
+            # manifest step. Loud beats half-working (r5 review); the
+            # production shape for remote checkpointing is an Iceberg
+            # catalog (module docstring), or mount the shared FS.
+            raise ValueError(
+                f"CheckpointManager root must be a local filesystem path, "
+                f"got URI {root!r} — use an Iceberg catalog or a mounted "
+                "path for remote checkpoint storage"
+            )
         self.spark = spark
         self.root = root
         self.config_token = config_token
@@ -112,6 +124,13 @@ class CheckpointManager:
                 self.metrics[name] = {"rows": man["rows"], "resumed": True}
                 self.fingerprints[name] = man.get("fingerprint", "")
                 return self.spark.read.parquet(data_path)
+            # stale manifest: REMOVE it before the data overwrite. The
+            # rebuild window (parquet write + two aggregation jobs
+            # before the new manifest lands) is wide; a crash inside it
+            # must leave no manifest at all — keeping the old one lets
+            # a later run under the OLD config token resume its stale
+            # lineage against the NEW data dir (r5 review finding).
+            os.remove(manifest_path)
 
         import time
 
@@ -150,35 +169,35 @@ class CheckpointManager:
         otherwise. These cuts are transient scratch — they carry no
         resume token and are rewritten on every run.
 
-        One instance is cached per manager: the parquet materializer's
-        per-name suffix counters must be SHARED across every operator
-        in a run — two fresh closures both cutting under the same hint
-        (e.g. two CC invocations cutting 'cc_round') would each start
-        at _000 and the second would overwrite parquet the first's
-        still-live DataFrames read."""
+        Every call returns a FRESH ``inv_<n>`` namespace (r5 review —
+        mirroring materialize.py's per-invocation design): isolation in
+        both directions is load-bearing. Unique subdirs mean two
+        invocations cutting the same hint (e.g. two CC runs cutting
+        'cc_round') can never overwrite each other's live scratch, and
+        keep_per_name retention only deletes cuts WITHIN one
+        invocation — a shared-counter design lets invocation 2's
+        cc_round_005 retention-delete invocation 1's still-live
+        cc_round_004 (the exact 3+-invocation failure materialize.py
+        documents). Call once per operator invocation."""
         from .materialize import parquet_materializer, resolve
 
         if self.root is None:
-            # scratch-aware default (parquet scratch when discoverable,
-            # DISK_ONLY otherwise); cached so the whole run shares ONE
-            # invocation namespace + suffix counters
-            cached = getattr(self, "_op_mat", None)
-            if cached is None:
-                cached = self._op_mat = resolve(None)
-            return cached
-        cached = getattr(self, "_op_mat", None)
-        if cached is not None:
-            return cached
+            # scratch-aware default: resolve(None) already allocates a
+            # fresh per-invocation namespace per call
+            return resolve(None)
         scratch = os.path.join(self.root, "_op_stages")
-        # wipe prior-run orphans ONCE per manager (a shorter re-run
-        # would otherwise leave higher-suffix round dirs behind
-        # forever); never mid-run — a later wipe could delete scratch
-        # that an earlier materializer's live DataFrames still read.
-        import shutil
+        if not getattr(self, "_op_stages_wiped", False):
+            # wipe prior-RUN orphans once per manager (a shorter re-run
+            # would otherwise leave higher-suffix round dirs behind
+            # forever); never mid-run — a later wipe could delete
+            # scratch that an earlier invocation's live frames read.
+            import shutil
 
-        shutil.rmtree(scratch, ignore_errors=True)
-        self._op_mat = parquet_materializer(scratch)
-        return self._op_mat
+            shutil.rmtree(scratch, ignore_errors=True)
+            self._op_stages_wiped = True
+        n = getattr(self, "_op_inv_n", 0)
+        self._op_inv_n = n + 1
+        return parquet_materializer(os.path.join(scratch, f"inv_{n:04d}"))
 
     def put_json(self, name: str, payload: str) -> None:
         if self.root is None:

@@ -146,7 +146,14 @@ def streaming_exact_dedup(
         n = 0
         for pdf in pdfs:
             n += len(pdf)
-            batch_min = pdf[id_col].min()
+            # dropna: a chunk whose ids are all null (or an empty Arrow
+            # chunk) makes pandas .min() return NaN — int(NaN) raised
+            # and killed the whole streaming query on one poisoned row
+            # (r5 review). Null ids can't win "first id" anyway.
+            ids = pdf[id_col].dropna()
+            if ids.empty:
+                continue
+            batch_min = ids.min()
             if first_id is None or batch_min < first_id:
                 first_id = int(batch_min) if id_is_long else batch_min
         state.update((seen + n,))

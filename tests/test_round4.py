@@ -87,24 +87,30 @@ def test_greedy_dedupe_with_parquet_retention(spark, tmp_path):
     assert got == {(i, i) for i in range(5)}
 
 
-def test_checkpoint_manager_shares_one_materializer(spark, tmp_path):
-    """Two materializer() calls on one CheckpointManager must return the
-    SAME closure (shared per-name suffix counters): otherwise two
-    operators cutting under one hint would overwrite each other's
-    still-live parquet."""
+def test_checkpoint_manager_isolates_invocations(spark, tmp_path):
+    """Each materializer() call gets its own inv_<n> namespace (r5:
+    mirrors materialize.py's per-invocation design), so two operator
+    invocations cutting the same hint can neither overwrite each
+    other's live parquet NOR retention-delete across invocations —
+    the r4 shared-counter design had the second failure mode at 3+
+    cuts of one hint."""
+    import os
+
     from fastlink_spark.plans.checkpoint import CheckpointManager
 
     mgr = CheckpointManager(spark, str(tmp_path))
     m1 = mgr.materializer()
     m2 = mgr.materializer()
-    assert m1 is m2
     df = spark.range(3)
-    m1(df, "cut")
+    out1 = m1(df, "cut")
     m2(df, "cut")
-    import os
-
-    dirs = sorted(d for d in os.listdir(tmp_path / "_op_stages"))
-    assert dirs == ["cut_000", "cut_001"]
+    # 3 more cuts under the same hint in invocation 2: keep_per_name
+    # retention must only touch inv_0001's own cuts
+    for _ in range(3):
+        m2(df, "cut")
+    assert sorted(os.listdir(tmp_path / "_op_stages")) == ["inv_0000", "inv_0001"]
+    assert os.listdir(tmp_path / "_op_stages" / "inv_0000") == ["cut_000"]
+    assert out1.count() == 3  # invocation 1's cut still readable
 
 
 # ------------------------- scratch-aware default materializer

@@ -497,6 +497,92 @@ def test_simhash_radius_beyond_pigeonhole_raises(spark):
         simhash_pairs_multi(docs, "doc_id", "text", max_hamming=4, n_tables=4)
 
 
+# --------------------------- review pass 4 fixes (checkpoint/CC/streaming/ANN)
+
+
+def test_checkpoint_stale_manifest_removed_on_rebuild(spark, tmp_path, monkeypatch):
+    """A rebuild must remove the stale manifest BEFORE overwriting the
+    data dir: a crash inside the (wide) rebuild window used to leave
+    the OLD manifest next to NEW data, so a later run under the old
+    config token silently resumed wrong content (r5 review)."""
+    import fastlink_spark.plans.checkpoint as cp
+
+    ck = str(tmp_path / "ck")
+    m_a = cp.CheckpointManager(spark, ck, config_token="A")
+    m_a.stage("s", lambda: spark.range(5).withColumn("cfg", F.lit("A")))
+
+    # config B rebuild crashes after the data overwrite, before the
+    # manifest write (content_fingerprint poisoned)
+    m_b = cp.CheckpointManager(spark, ck, config_token="B")
+    real_fp = cp.content_fingerprint
+    monkeypatch.setattr(
+        cp,
+        "content_fingerprint",
+        lambda df: (_ for _ in ()).throw(RuntimeError("injected crash")),
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        m_b.stage("s", lambda: spark.range(5).withColumn("cfg", F.lit("B")))
+    monkeypatch.setattr(cp, "content_fingerprint", real_fp)
+    assert not os.path.exists(os.path.join(ck, "s.manifest.json"))
+
+    # back under config A: must REBUILD (content is B's on disk), not
+    # resume the stale manifest
+    m_a2 = cp.CheckpointManager(spark, ck, config_token="A")
+    out = m_a2.stage("s", lambda: spark.range(5).withColumn("cfg", F.lit("A")))
+    assert m_a2.metrics["s"]["resumed"] is False
+    assert {r["cfg"] for r in out.collect()} == {"A"}
+
+
+def test_checkpoint_root_uri_rejected(spark):
+    from fastlink_spark.plans.checkpoint import CheckpointManager
+
+    with pytest.raises(ValueError, match="local filesystem"):
+        CheckpointManager(spark, "s3://bucket/prefix")
+
+
+def test_ivf_refine_survives_null_low_id_seeds(spark):
+    """The 16 lowest-id corpus rows have vec=null (earliest-ingested
+    embedding failures): with refine on, the centroid table used to
+    collapse to EMPTY (null seeds dropped, table rebuilt from the
+    empty map) and every query got zero neighbors (r5 review). Seeds
+    now come from non-null vectors only."""
+    import numpy as np
+
+    from fastlink_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(3)
+    rows = [(i, None) for i in range(16)] + [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(16, 80)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    queries = corpus.where(F.col("vec_id").between(16, 19))
+    out = ivf_topk(
+        corpus, queries, "vec_id", "vec",
+        k=3, n_cells=16, n_probe=4, centroid_rule="min_id", refine_iters=1,
+    ).collect()
+    assert len(out) > 0
+    assert {r["query_id"] for r in out} == {16, 17, 18, 19}
+
+
+def test_streaming_dedup_null_ids_survive(spark, tmp_path):
+    """A hash group whose batch rows all carry null ids made pandas
+    .min() return NaN and int(NaN) killed the whole streaming query
+    (r5 review). Null ids are skipped; groups with a real id emit it."""
+    from fastlink_spark.streaming.windowed import run_streaming_dedup
+    from tests.test_streaming_windowed import SCHEMA_DOCS, _write_chunk
+
+    indir = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    _write_chunk(
+        spark, [(None, 100), (5, 100), (None, 400), (9, 200)], SCHEMA_DOCS, indir, "b1"
+    )
+    q = run_streaming_dedup(spark, indir + "/*", ck, out, SCHEMA_DOCS)
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["text_hash"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(5, 100), (9, 200)}  # all-null group 400 emits nothing
+
+
 # --------------------------- ADVICE r4 low fixes
 
 
