@@ -137,8 +137,24 @@ def emlink_log(
         for c in gamma_cols
     }
     shape = tuple(len(levels[c]) for c in gamma_cols)
+    G = int(np.prod([len(levels[c]) for c in gamma_cols], dtype=np.int64))
+    # the joint grid is EXPONENTIAL in field count (G = prod of level
+    # counts); masks is R x G and the E-step builds R x G float
+    # temporaries — at 12 three-level fields that is driver-OOM
+    # territory even though the observed table stays tiny (r5 review).
+    # Fail loudly instead of thrashing: the MAR model (em.emlink_mar)
+    # handles the same field count in O(R * fields), and smaller
+    # interaction sets don't shrink the grid (the log-linear model is
+    # still over the full joint).
+    if G > 300_000:
+        raise ValueError(
+            f"emlink_log joint grid has {G} cells "
+            f"({' x '.join(str(s) for s in shape)}) — the interaction "
+            "EM materializes the full grid and does not scale past "
+            "~12 three-level fields; drop fields or use the MAR model "
+            "(em.emlink_mar)"
+        )
     grid = np.array(list(itertools.product(*[range(s) for s in shape])))  # level indices
-    G = len(grid)
 
     # consistency matrix: obs pattern row -> bool mask over grid cells
     masks = np.ones((len(patt), G), dtype=bool)

@@ -66,11 +66,21 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         while pos < len(payload) and not payload[pos : pos + 1].isspace():
             pos += 1
         fields.append(int(payload[start:pos]))
-    pos += 1  # single whitespace after maxval
+    pos += 1  # single whitespace after maxval (the spec's rule)
     w, h, maxval = fields
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")
     n = w * h * 3
+    # CRLF-writer tolerance (r5 review): a non-conforming '\r\n' after
+    # maxval used to leave the '\n' inside the pixel data, silently
+    # shifting every channel by one byte. The total length
+    # disambiguates: skip extra leading whitespace until exactly n
+    # pixel bytes remain (pixel values that happen to BE whitespace
+    # bytes are safe — the loop only runs while there is surplus).
+    while len(payload) - pos > n and payload[pos : pos + 1].isspace():
+        pos += 1
+    if len(payload) - pos < n:
+        raise ValueError("truncated PPM pixel data")
     img = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
     return img.reshape(h, w, 3)
 
@@ -105,7 +115,6 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """PCM WAV -> (samples float32 in [-1, 1] mono-mixed, sample_rate).
     stdlib wave module; 8/16/32-bit PCM."""
     import io
-    import wave
 
     with wave.open(io.BytesIO(payload), "rb") as wf:
         rate = wf.getframerate()

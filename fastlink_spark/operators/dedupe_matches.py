@@ -101,12 +101,18 @@ def _solve_block_lsap(pdf: pd.DataFrame, id_a: str, id_b: str, score: str) -> pd
     return pdf.loc[mask, [id_a, id_b, score]]
 
 
-def _solve_block_greedy(pdf: pd.DataFrame, id_a: str, id_b: str, score: str) -> pd.DataFrame:
-    """Within-block greedy fallback for oversized components (same
-    semantics as the distributed greedy fixpoint)."""
+def _solve_block_greedy(
+    pdf: pd.DataFrame,
+    id_a: str,
+    id_b: str,
+    score: str,
+    shared_id_space: bool = False,
+) -> pd.DataFrame:
+    """Within-block sequential greedy (same semantics as the
+    distributed fixpoint, including the side-namespace rule)."""
     pdf = pdf.sort_values([score, id_a, id_b], ascending=[False, True, True])
     used_a: set = set()
-    used_b: set = set()
+    used_b = used_a if shared_id_space else set()
     rows = []
     for r in pdf.itertuples(index=False):
         a, b = getattr(r, id_a), getattr(r, id_b)
@@ -115,6 +121,23 @@ def _solve_block_greedy(pdf: pd.DataFrame, id_a: str, id_b: str, score: str) -> 
             used_b.add(b)
             rows.append(r)
     return pd.DataFrame(rows, columns=pdf.columns)[[id_a, id_b, score]]
+
+
+def _canonical_pairs(pairs: DataFrame, id_a: str, id_b: str, score: str) -> DataFrame:
+    """Shared input contract for BOTH methods (r5 review — the two
+    paths used to disagree on these edges):
+    - non-positive scores never match: lpSolve's max-weight objective
+      leaves such nodes unmatched for free, while greedy accepted them
+      — now neither does;
+    - duplicate (id_a, id_b) rows collapse to their best score
+      (deterministic max): the LSAP block solver otherwise emitted the
+      duplicate rows verbatim, breaking the 1:1 contract."""
+    return (
+        pairs.select(id_a, id_b, score)
+        .where(F.col(score) > 0)
+        .groupBy(id_a, id_b)
+        .agg(F.max(score).alias(score))
+    )
 
 
 def dedupe_matches_lsap(
@@ -133,7 +156,7 @@ def dedupe_matches_lsap(
     max_lsap_block nodes)."""
     from .cluster import connected_components
 
-    slim = pairs.select(id_a, id_b, score)
+    slim = _canonical_pairs(pairs, id_a, id_b, score)
     # component per a-side node; over-grouping from numeric id collisions
     # across the two sides is harmless (LSAP over a union of disconnected
     # blocks has the same optimum as solving them separately)
@@ -162,20 +185,43 @@ def dedupe_matches(
     score: str = "zeta",
     max_rounds: int = 20,
     method: str = "greedy",
+    shared_id_space: bool = False,
     materializer: Materializer | None = None,
 ) -> DataFrame:
     """Matched pairs -> 1:1 subset. method='greedy' (mutual-best
     fixpoint, the reference default) or 'lsap' (exact linear-sum
     assignment, ``linprog=TRUE``).
 
+    ``shared_id_space``: False (default) treats the a-side and b-side
+    as SEPARATE id namespaces — the two-table linkage semantics of the
+    reference's fastLink(dfA, dfB) flow, and what the lsap reduction
+    assumes (a numeric id appearing on both sides is two different
+    records). True pools both sides into one namespace (single-table
+    self-dedupe: a record matched on either side is consumed on both);
+    greedy only — the bipartite LSAP reduction cannot express it.
+    r5 review: the fixpoint used to pool unconditionally while its own
+    tail fallback and lsap separated, silently dropping valid pairs
+    whenever the two tables' id spaces overlap.
+
+    Pairs with non-positive score never match, and duplicate
+    (id_a, id_b) rows collapse to their best score (_canonical_pairs)
+    — identical contract on both methods.
+
     Deterministic: ties broken by (score desc, partner id asc).
     """
+    if method not in ("greedy", "lsap"):
+        raise ValueError(f"unknown method {method!r}: use 'greedy' or 'lsap'")
     if method == "lsap":
+        if shared_id_space:
+            raise ValueError(
+                "shared_id_space=True is greedy-only: the bipartite LSAP "
+                "reduction cannot express a pooled id namespace"
+            )
         return dedupe_matches_lsap(
             pairs, id_a=id_a, id_b=id_b, score=score, materializer=materializer
         )
     mat = resolve(materializer)
-    remaining = mat(pairs.select(id_a, id_b, score), "greedy_remaining")
+    remaining = mat(_canonical_pairs(pairs, id_a, id_b, score), "greedy_remaining")
     accepted: DataFrame | None = None
 
     exhausted = True
@@ -206,14 +252,18 @@ def dedupe_matches(
             mutual if accepted is None else accepted.unionByName(mutual),
             "greedy_accepted",
         )
-        used = (
-            mutual.select(F.col(id_a).alias("uid"))
-            .union(mutual.select(F.col(id_b).alias("uid")))
-            .distinct()
-        )
+        if shared_id_space:
+            used_a = used_b = (
+                mutual.select(F.col(id_a).alias("uid"))
+                .union(mutual.select(F.col(id_b).alias("uid")))
+                .distinct()
+            )
+        else:
+            used_a = mutual.select(F.col(id_a).alias("uid")).distinct()
+            used_b = mutual.select(F.col(id_b).alias("uid")).distinct()
         remaining = mat(
-            remaining.join(used.withColumnRenamed("uid", id_a), id_a, "left_anti")
-            .join(used.withColumnRenamed("uid", id_b), id_b, "left_anti")
+            remaining.join(used_a.withColumnRenamed("uid", id_a), id_a, "left_anti")
+            .join(used_b.withColumnRenamed("uid", id_b), id_b, "left_anti")
             .select(id_a, id_b, score),
             "greedy_remaining",
         )
@@ -237,7 +287,8 @@ def dedupe_matches(
 
         def solve(pdf: pd.DataFrame) -> pd.DataFrame:
             return _solve_block_greedy(
-                pdf.drop(columns=["__comp"]), id_a, id_b, score
+                pdf.drop(columns=["__comp"]), id_a, id_b, score,
+                shared_id_space=shared_id_space,
             )
 
         tail = mat(

@@ -27,13 +27,22 @@ from ..em import EMResult
 
 
 def value_frequencies(records: DataFrame, field: str) -> DataFrame:
-    """(value, p_v): share of records holding each value of `field`."""
-    tot = records.where(F.col(field).isNotNull()).count()
-    return (
+    """(value, p_v): share of records holding each value of `field`.
+
+    ONE scan of the records table (r5 review: a driver count() plus
+    the groupBy was two full passes): the total is an empty-frame
+    window-sum over the per-value COUNT table — rows = distinct
+    values, executor-side — the same shape name_reweight's m_v
+    renormalization uses."""
+    from pyspark.sql import Window
+
+    counts = (
         records.where(F.col(field).isNotNull())
         .groupBy(F.col(field).alias("value"))
-        .agg((F.count("*") / F.lit(tot)).alias("p_v"))
+        .agg(F.count("*").alias("__n"))
     )
+    tot = F.sum("__n").over(Window.partitionBy())
+    return counts.select("value", (F.col("__n") / tot).alias("p_v"))
 
 
 def name_reweight(

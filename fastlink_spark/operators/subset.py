@@ -26,6 +26,11 @@ def string_subset(records: DataFrame, pairs: DataFrame, id_col: str, *, id_a: st
 def window_block_keys(value: Column, window_size: float, prefix: str = "w") -> Column:
     """array<string> of overlapping window block keys for a numeric
     column (null value -> empty array)."""
+    if not window_size > 0:
+        # window_size=0 divides to null: concat_ws skips the null bucket
+        # and every row silently lands in ONE global block — candidate
+        # generation then goes quadratic with no error (r5 review)
+        raise ValueError(f"window_size must be > 0, got {window_size}")
     b = F.floor(value / F.lit(float(window_size)))
     keys = F.transform(
         F.sequence(F.lit(-1), F.lit(1)),

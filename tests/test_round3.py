@@ -466,15 +466,16 @@ def test_parquet_materializer_retention_and_orphan_wipe(spark, tmp_path):
 
     # orphan wipe: simulate a prior run's leftovers under a ckpt root
     ck = str(tmp_path / "ckpt")
-    os.makedirs(os.path.join(ck, "_op_stages", "cc_round_012"))
+    os.makedirs(os.path.join(ck, "_op_stages", "inv_0007"))
     man = CheckpointManager(spark, ck, "tok")
     m1 = man.materializer()
-    assert not os.path.exists(os.path.join(ck, "_op_stages", "cc_round_012"))
-    out = m1(spark.range(3), "fresh")
+    out = m1(spark.range(3), "fresh")  # wipe happens at materializer() call
+    assert not os.path.exists(os.path.join(ck, "_op_stages", "inv_0007"))
     assert out.count() == 3
     # second materializer() in the SAME run must NOT wipe live scratch
+    # (r5 layout: each call gets its own inv_<n> namespace)
     man.materializer()
-    assert any(d.startswith("fresh_") for d in os.listdir(os.path.join(ck, "_op_stages")))
+    assert os.path.exists(os.path.join(ck, "_op_stages", "inv_0000", "fresh_000"))
 
 
 # ------------------------------------- IVF Lloyd refinement

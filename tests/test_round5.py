@@ -583,6 +583,104 @@ def test_streaming_dedup_null_ids_survive(spark, tmp_path):
     assert got == {(5, 100), (9, 200)}  # all-null group 400 emits nothing
 
 
+# --------------------------- review pass 5 fixes (assignment/EM-log/media)
+
+
+def test_greedy_separate_side_namespaces(spark):
+    """An id appearing on BOTH sides is two different records under the
+    default two-table semantics: the old pooled 'used' set wrongly
+    eliminated viable pairs (r5 review scenario). shared_id_space=True
+    restores single-table pooling for all greedy paths."""
+    from fastlink_spark.operators.dedupe_matches import dedupe_matches
+
+    rows = [
+        (5, 72, 0.5), (7, 72, 0.9), (7, 73, 0.95),
+        (9, 73, 0.99), (9, 74, 1.0), (2, 5, 0.95),
+    ]
+    pairs = spark.createDataFrame(rows, "a_rec_id long, b_rec_id long, zeta double")
+    got = {
+        (r["a_rec_id"], r["b_rec_id"])
+        for r in dedupe_matches(pairs).collect()
+    }
+    # sequential greedy, sides separate: (9,74), (2,5), (7,73), (5,72)
+    assert got == {(9, 74), (2, 5), (7, 73), (5, 72)}
+    # lsap agrees on this input (total 0.95+1.0+0.95+0.5 is optimal)
+    got_l = {
+        (r["a_rec_id"], r["b_rec_id"])
+        for r in dedupe_matches(pairs, method="lsap").collect()
+    }
+    assert got_l == got
+    # pooled namespace: accepting (2,5) consumes record 5 entirely
+    pooled = {
+        (r["a_rec_id"], r["b_rec_id"])
+        for r in dedupe_matches(pairs, shared_id_space=True).collect()
+    }
+    assert (5, 72) not in pooled and (9, 74) in pooled and (2, 5) in pooled
+
+
+def test_dedupe_matches_shared_contract_and_validation(spark):
+    from fastlink_spark.operators.dedupe_matches import dedupe_matches
+
+    pairs = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 10, 0.4), (2, 20, 0.0), (3, 30, -1.0)],
+        "a_rec_id long, b_rec_id long, zeta double",
+    )
+    for method in ("greedy", "lsap"):
+        out = dedupe_matches(pairs, method=method).collect()
+        # duplicate (1,10) collapses to best score; 0.0/negative never match
+        assert [(r["a_rec_id"], r["b_rec_id"], r["zeta"]) for r in out] == [(1, 10, 0.9)]
+    with pytest.raises(ValueError, match="unknown method"):
+        dedupe_matches(pairs, method="linprog")
+    with pytest.raises(ValueError, match="greedy-only"):
+        dedupe_matches(pairs, method="lsap", shared_id_space=True)
+
+
+def test_emlink_log_grid_guard():
+    import pandas as pd
+
+    from fastlink_spark.em_log import emlink_log
+
+    cols = [f"gamma_f{i}" for i in range(13)]
+    patt = pd.DataFrame([dict({c: 0 for c in cols}, cnt=50),
+                         dict({c: 2 for c in cols}, cnt=5)])
+    with pytest.raises(ValueError, match="joint grid"):
+        emlink_log(
+            patt, cols,
+            level_universe={c: [0, 1, 2] for c in cols},  # 3^13 cells
+        )
+
+
+def test_window_size_validated(spark):
+    from fastlink_spark.operators.subset import window_block_keys
+
+    with pytest.raises(ValueError, match="window_size"):
+        window_block_keys(F.col("x"), 0)
+
+
+def test_decode_ppm_crlf_header(spark):
+    import numpy as np
+
+    from fastlink_spark.multimodal import decode_ppm
+
+    pixels = bytes([10, 20, 30, 40, 50, 60])
+    ok = decode_ppm(b"P6 2 1 255\n" + pixels)
+    crlf = decode_ppm(b"P6 2 1 255\r\n" + pixels)
+    assert np.array_equal(ok, crlf)
+    assert ok[0, 0].tolist() == [10, 20, 30]
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6 2 1 255\n" + pixels[:-1])
+
+
+def test_value_frequencies_single_pass_values(spark):
+    from fastlink_spark.operators.reweight import value_frequencies
+
+    recs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, None)], "rec_id long, name string"
+    )
+    got = {r["value"]: r["p_v"] for r in value_frequencies(recs, "name").collect()}
+    assert got == {"a": 2 / 3, "b": 1 / 3}
+
+
 # --------------------------- ADVICE r4 low fixes
 
 
