@@ -47,19 +47,37 @@ def osa_distance(a: str, b: str) -> int:
     return int(prev[lb])
 
 
-def osa_sim_series(a: pd.Series, b: pd.Series) -> pd.Series:
+_DEFAULT_MAX_LEN = 128  # same cap as jw.py: the O(|a|*|b|) DP is
+# unbounded on input length — a dl FieldSpec pointed at a long text
+# column would otherwise run ~10^10 DP cells per unique pair and stall
+# the executor (r5 review). Similarity is computed on the truncated
+# prefixes, exactly like the JW kernel's contract.
+
+
+def osa_sim_series(
+    a: pd.Series, b: pd.Series, *, max_len: int = _DEFAULT_MAX_LEN
+) -> pd.Series:
     """Normalized OSA similarity 1 - d/max(len) over two string series
-    (null if either side null; 1.0 for two empties). Unique-pair
+    (null if either side null — pandas NaN/None/NA all count as null,
+    mirroring jw.py's isna() rule; 1.0 for two empties). Unique-pair
     factorized like the JW kernel: each distinct (a,b) pair is computed
-    once per Arrow batch."""
+    once per Arrow batch; the DP itself is row-vectorized NumPy."""
+    valid = (~(a.isna() | b.isna())).to_numpy()
     out = np.full(len(a), np.nan)
     av = a.to_numpy(dtype=object)
     bv = b.to_numpy(dtype=object)
     seen: dict[tuple, float] = {}
-    for i in range(len(av)):
+    for i in np.flatnonzero(valid):
+        # str() coercion: a non-string value that survives isna (e.g. a
+        # numeric column routed to kind='dl') compares by its string
+        # form instead of silently nulling the whole field out of the
+        # EM (r5 review — the old isinstance(float) test did exactly
+        # that)
         x, y = av[i], bv[i]
-        if x is None or y is None or (isinstance(x, float)) or (isinstance(y, float)):
-            continue
+        x = x if isinstance(x, str) else str(x)
+        y = y if isinstance(y, str) else str(y)
+        if max_len:
+            x, y = x[:max_len], y[:max_len]
         key = (x, y)
         s = seen.get(key)
         if s is None:

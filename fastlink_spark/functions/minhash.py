@@ -69,6 +69,24 @@ _EMPTY_SENTINEL = np.iinfo(np.int64).max
 _MIX_PRIME = np.int64(-7046029254386353131)  # 0x9E3779B97F4A7C15 as int64
 
 
+def _flatten_hash_lists(hash_arrays: "pd.Series") -> tuple[int, np.ndarray, np.ndarray]:
+    """(n, per-row lens, flat int64 concat) for a Series of
+    array<bigint>/None rows — ONE definition for both OPH UDF paths
+    (r5 review: the two near-verbatim batch preambles were the same
+    drift hazard the r4 _bucket_min_densify dedup closed)."""
+    n = len(hash_arrays)
+    lens = np.fromiter(
+        (0 if h is None else len(h) for h in hash_arrays), np.int64, count=n
+    )
+    if n and lens.sum() > 0:
+        flat = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h in hash_arrays if h is not None and len(h)]
+        )
+    else:
+        flat = np.empty(0, dtype=np.int64)
+    return n, lens, flat
+
+
 def _oph_batch(hash_arrays: "pd.Series", k: int) -> "pd.Series":
     """One-permutation MinHash with rotation densification, vectorized
     across the whole Arrow batch (no per-row Python).
@@ -78,20 +96,10 @@ def _oph_batch(hash_arrays: "pd.Series", k: int) -> "pd.Series":
     empty buckets borrow from the nearest following non-empty bucket,
     mixed with the borrow distance so borrowed values stay distinct.
     """
-    import pandas as pd  # local: keep module import light on executors
-
-    n = len(hash_arrays)
+    n, lens, flat = _flatten_hash_lists(hash_arrays)
     if n == 0:
         return pd.Series([], dtype=object)
-    lens = np.fromiter((0 if h is None else len(h) for h in hash_arrays), np.int64, count=n)
-    if lens.sum() > 0:
-        flat = np.concatenate(
-            [np.asarray(h, dtype=np.int64) for h in hash_arrays if h is not None and len(h)]
-        )
-        row_idx = np.repeat(np.arange(n), lens)
-    else:
-        flat = np.empty(0, dtype=np.int64)
-        row_idx = np.empty(0, dtype=np.int64)
+    row_idx = np.repeat(np.arange(n), lens)
     sig = _bucket_min_densify(flat, row_idx, n, k)
     out = [None if lens[i] == 0 else sig[i].tolist() for i in range(n)]
     return pd.Series(out, dtype=object)
@@ -100,7 +108,6 @@ def _oph_batch(hash_arrays: "pd.Series", k: int) -> "pd.Series":
 def oph_signature_udf(k: int):
     """pandas UDF: array<bigint> shingle hashes -> array<bigint> OPH
     signature of length k (k must be a power of two)."""
-    import pandas as pd
     from pyspark.sql.types import ArrayType, LongType
 
     if k & (k - 1):
@@ -158,7 +165,6 @@ def oph_from_token_hashes_udf(k: int, w: int):
     only one xxhash64 per token. This is the default minhash path: the
     per-shingle JVM HOF variant costs ~88us/shingle in slice+concat_ws
     lambda machinery (measured), ~30x this path."""
-    import pandas as pd
     from pyspark.sql.types import ArrayType, LongType
 
     if k & (k - 1):
@@ -166,17 +172,11 @@ def oph_from_token_hashes_udf(k: int, w: int):
 
     @F.pandas_udf(ArrayType(LongType()))
     def _udf(token_hashes: pd.Series) -> pd.Series:
-        n = len(token_hashes)
+        n, lens, flat = _flatten_hash_lists(token_hashes)
         if n == 0:
             return pd.Series([], dtype=object)
-        lens = np.fromiter(
-            (0 if h is None else len(h) for h in token_hashes), np.int64, count=n
-        )
         if lens.sum() == 0:
             return pd.Series([None] * n, dtype=object)
-        flat = np.concatenate(
-            [np.asarray(h, dtype=np.int64) for h in token_hashes if h is not None and len(h)]
-        )
         sh, row_of = _rolling_shingles(flat, lens, w)
         sig = _bucket_min_densify(sh, row_of, n, k)
         return pd.Series(

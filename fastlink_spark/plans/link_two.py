@@ -53,19 +53,42 @@ def link_records(
     attrs = [id_col] + [f.name for f in fields]
 
     def blocked(df: DataFrame) -> DataFrame:
-        key = F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in block_cols])
-        return df.select(key.alias("block_key"), *attrs)
+        # rows with a NULL blocking value are DROPPED from pairing, not
+        # coalesced to a shared sentinel (r5 review): a "\x00" sentinel
+        # put every null-blocked row of BOTH tables into one block —
+        # null==null scored as block agreement and an O(na*nb) pair
+        # blow-up from semantically meaningless pairs. Matches
+        # blocking.with_block_keys, which drops null host keys.
+        notnull = F.lit(True)
+        for c in block_cols:
+            notnull = notnull & F.col(c).isNotNull()
+        key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in block_cols])
+        return df.where(notnull).select(key.alias("block_key"), *attrs)
 
-    pairs = _resolve_mat(None)(
+    mat = _resolve_mat(None)
+    pairs = mat(
         candidate_pairs_two(
             blocked(df_a), blocked(df_b), id_col=id_col, skew_threshold=skew_threshold
         ),
         "link_two_pairs",
     )
 
-    scored = gammas.with_gammas(pairs, fields)
+    # materialize the gamma columns ONCE: pattern_counts and the
+    # matched_from_zeta join both consume them, and without a cut every
+    # string-field pandas UDF would re-score the full pair set twice
+    # (r5 review — the pipeline checkpoints pairs_gamma for the same
+    # reason)
+    scored = mat(gammas.with_gammas(pairs, fields), "link_two_scored")
     gcols = [f"gamma_{f.name}" for f in fields]
-    patt = gammas.pattern_counts(scored, fields).toPandas()
+    # sort before fitting: emlink_mar's float accumulation is row-order
+    # dependent and toPandas() order is shuffle-nondeterministic (same
+    # r5 determinism fix as the pipeline path)
+    patt = (
+        gammas.pattern_counts(scored, fields)
+        .toPandas()
+        .sort_values(gcols, na_position="last")
+        .reset_index(drop=True)
+    )
     em = em_mod.emlink_mar(patt, gcols, p_m=p_m, tol=tol, iter_max=iter_max)
     scored_patterns = em_mod.apply_em(patt, em)
 

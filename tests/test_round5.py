@@ -681,6 +681,77 @@ def test_value_frequencies_single_pass_values(spark):
     assert got == {"a": 2 / 3, "b": 1 / 3}
 
 
+# --------------------------- review pass 6 fixes (link_two/dl/session)
+
+
+def test_link_two_null_blocks_dropped(spark):
+    """Rows with a NULL blocking value must be dropped from pairing —
+    the old '\\x00' sentinel put every null-blocked row of BOTH tables
+    into one block (null==null 'agreement', O(na*nb) pair blow-up)."""
+    from fastlink_spark.operators.gammas import FieldSpec
+    from fastlink_spark.plans.link_two import link_records
+
+    rows_a = [(i, None if i < 30 else f"b{i % 3}", f"name{i % 7}") for i in range(60)]
+    rows_b = [(1000 + i, None if i < 30 else f"b{i % 3}", f"name{i % 7}") for i in range(60)]
+    df_a = spark.createDataFrame(rows_a, "pid long, blk string, name string")
+    df_b = spark.createDataFrame(rows_b, "pid long, blk string, name string")
+    res = link_records(
+        spark, df_a, df_b,
+        [FieldSpec("name", "exact", cut_partial=None)],
+        id_col="pid", block_cols=["blk"], threshold=0.2, p_m=0.3,
+    )
+    matched = res.matched_pairs.collect()
+    a_ids = {r["a_pid"] for r in matched}
+    assert matched, "non-null blocks must still produce matches"
+    assert all(i >= 30 for i in a_ids), "null-blocked rows must never pair"
+
+
+def test_link_two_em_deterministic(spark):
+    """Same input, two runs -> byte-identical EM fit (the r5 pattern-
+    sort determinism fix applied to the link_two path too)."""
+    from fastlink_spark.operators.gammas import FieldSpec
+    from fastlink_spark.plans.link_two import link_records
+
+    rows_a = [(i, f"b{i % 5}", f"name{i % 11}", f"t{i % 4}") for i in range(120)]
+    rows_b = [(1000 + i, f"b{i % 5}", f"name{(i + (i % 9 == 0)) % 11}", f"t{i % 4}") for i in range(120)]
+    df_a = spark.createDataFrame(rows_a, "pid long, blk string, name string, town string")
+    df_b = spark.createDataFrame(rows_b, "pid long, blk string, name string, town string")
+    fields = [FieldSpec("name", "exact"), FieldSpec("town", "exact")]
+
+    def run():
+        return link_records(
+            spark, df_a, df_b, fields, id_col="pid", block_cols=["blk"]
+        ).em.to_json()
+
+    assert run() == run()
+
+
+def test_osa_sim_series_cap_and_types():
+    import pandas as pd
+
+    from fastlink_spark.functions.dl import osa_sim_series
+
+    # long inputs are capped (equal 1000-char strings score via their
+    # 128-char prefixes, instantly)
+    long_a = pd.Series(["x" * 1000, "x" * 1000])
+    long_b = pd.Series(["x" * 1000, "x" * 999 + "y"])
+    out = osa_sim_series(long_a, long_b).tolist()
+    assert out[0] == 1.0 and out[1] == 1.0  # the differing tail is past the cap
+    # numeric values compare via str() instead of silently nulling
+    nums = osa_sim_series(pd.Series([12.5, None]), pd.Series([12.5, "x"])).tolist()
+    assert nums[0] == 1.0
+    assert pd.isna(nums[1])
+
+
+def test_get_spark_warns_on_ignored_config(spark, capsys):
+    from fastlink_spark.session import get_spark
+
+    cur = spark.conf.get("spark.sql.shuffle.partitions")
+    get_spark(shuffle_partitions=int(cur) + 7)
+    err = capsys.readouterr().err
+    assert "requested configs not applied" in err
+
+
 # --------------------------- ADVICE r4 low fixes
 
 
