@@ -2,13 +2,16 @@
 columns with typed metadata, processed via Arrow-batched mapInPandas.
 
 The Spark-side contract (schemas, batch iteration, partition sizing) is
-REAL and tested. Decode is real too for the uncompressed container
-formats that need no external libraries — P6 PPM and 24-bit BMP images
-(pure NumPy byte parsing) and PCM WAV audio (stdlib ``wave``); the
-compressed formats (jpeg/png/mp3/mp4) raise NotImplementedError because
-no codec libraries ship in this container. ``deterministic_fake=True``
-remains as a format-agnostic stand-in so tests can drive the full
-distributed path with arbitrary payloads.
+REAL and tested. Decode is real for every format expressible without
+external codec libraries — P6 PPM and 24-bit BMP images (pure NumPy
+byte parsing), PCM WAV audio (stdlib ``wave``), and 8-bit PNG (stdlib
+``zlib`` inflate + per-row unfilter, all five PNG filter types — DEFLATE
+is in the standard library, so "compressed" alone doesn't force a stub);
+the formats whose decode genuinely needs DSP/entropy-codec libraries
+(jpeg/mp3/mp4) raise NotImplementedError because none ship in this
+container. ``deterministic_fake=True`` remains as a format-agnostic
+stand-in so tests can drive the full distributed path with arbitrary
+payloads.
 
 At 100TB: binary payloads dominate partition size — repartition by
 ``maxRecordsPerBatch``-friendly counts and keep
@@ -111,6 +114,126 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return rows[:, :, ::-1]  # BGR -> RGB
 
 
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG (gray / gray+alpha / RGB / RGBA /
+    palette) -> (h, w, 3) uint8 RGB. Pure stdlib ``zlib`` + NumPy: chunk
+    walk, IDAT inflate, per-row unfilter (none/sub/up/average/paeth, all
+    arithmetic mod 256 per the spec), alpha dropped, palette expanded.
+
+    Closes the "compressed image decode is container-bound" carve-out
+    for PNG — DEFLATE ships in the standard library, so only the
+    DCT/entropy formats (jpeg/mp3/mp4) remain honestly stubbed.
+
+    Scale note: the up filter is vectorized and sub rides a per-channel
+    cumsum; average/paeth fall back to a per-byte Python loop (the
+    left-neighbor dependency is inherently sequential). Synthetic and
+    screenshot-style corpora are dominated by none/up/sub rows; a
+    jpeg-era photo corpus at 100 TB would want a native codec anyway.
+    """
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    ihdr: bytes | None = None
+    plte: bytes | None = None
+    idat: list[bytes] = []
+    pos = 8
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + ln  # length + type + data + CRC
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("missing PNG IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8], ihdr[9], ihdr[10], ihdr[11], ihdr[12]
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        # per-row bad data policy (same as BMP/WAV): variants outside
+        # this decoder's scope -> ValueError -> ok=False row
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, interlace={interlace})"
+        )
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    if w <= 0 or h <= 0:
+        raise ValueError("bad PNG dimensions")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad PNG IDAT stream: {e}") from e
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = nch  # bytes per pixel at depth 8
+    rpos = 0
+    for y in range(h):
+        ftype = raw[rpos]
+        row = np.frombuffer(raw, np.uint8, stride, rpos + 1).copy()
+        rpos += stride + 1
+        if ftype == 0:  # none
+            pass
+        elif ftype == 2:  # up — uint8 addition wraps mod 256 (spec)
+            row += prev
+        elif ftype == 1:  # sub — per-channel cumulative sum mod 256
+            row = row.reshape(w, nch).cumsum(axis=0, dtype=np.uint64).astype(
+                np.uint8
+            ).reshape(stride)
+        elif ftype == 3:  # average
+            ri = row.astype(np.int32)
+            pi = prev.astype(np.int32)
+            for x in range(stride):
+                left = int(ri[x - bpp]) if x >= bpp else 0
+                ri[x] = (ri[x] + ((left + pi[x]) >> 1)) & 0xFF
+            row = ri.astype(np.uint8)
+        elif ftype == 4:  # paeth
+            ri = row.astype(np.int32)
+            pi = prev.astype(np.int32)
+            for x in range(stride):
+                a = int(ri[x - bpp]) if x >= bpp else 0
+                b = int(pi[x])
+                c = int(pi[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                ri[x] = (ri[x] + pred) & 0xFF
+            row = ri.astype(np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = row
+        prev = row
+    px = out.reshape(h, w, nch)
+    if ctype == 2:  # RGB
+        return px
+    if ctype == 6:  # RGBA -> drop alpha
+        return px[:, :, :3].copy()
+    if ctype == 0:  # grayscale -> replicate
+        return np.repeat(px, 3, axis=2)
+    if ctype == 4:  # gray+alpha -> replicate gray, drop alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    # ctype == 3: palette
+    if plte is None or len(plte) % 3 != 0 or len(plte) == 0:
+        raise ValueError("palette PNG missing/bad PLTE")
+    pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+    idx = px[:, :, 0]
+    if int(idx.max()) >= pal.shape[0]:
+        raise ValueError("PNG palette index out of range")
+    return pal[idx]
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """PCM WAV -> (samples float32 in [-1, 1] mono-mixed, sample_rate).
     stdlib wave module; 8/16/32-bit PCM."""
@@ -186,6 +309,7 @@ def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
 _DECODERS = {
     "image/ppm": lambda p, dim: image_feature(decode_ppm(p), dim),
     "image/bmp": lambda p, dim: image_feature(decode_bmp(p), dim),
+    "image/png": lambda p, dim: image_feature(decode_png(p), dim),
     "audio/wav": lambda p, dim: audio_feature(decode_wav(p)[0], dim),
 }
 
@@ -197,10 +321,11 @@ def extract_features(
     deterministic_fake: bool = False,
 ) -> DataFrame:
     """mapInPandas feature extraction over (doc_id, media_type, n_bytes,
-    payload). Real decode for image/ppm, image/bmp, audio/wav;
-    compressed formats raise NotImplementedError (no codec libs in this
-    container). Rows whose payload fails to parse come back ok=False
-    (feature null) instead of failing the task."""
+    payload). Real decode for image/ppm, image/bmp, image/png,
+    audio/wav; the DCT/entropy formats (jpeg/mp3/mp4) raise
+    NotImplementedError (no codec libs in this container). Rows whose
+    payload fails to parse come back ok=False (feature null) instead of
+    failing the task."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -952,3 +952,153 @@ def test_incremental_plus_compact_equals_batch_randomized(spark, tmp_path, seed)
     got = parts(linker.entities().collect())
     want = parts(batch.entities.collect())
     assert got == want
+
+
+# ---------------------------------------------------------------- PNG decode
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data))
+    )
+
+
+def _encode_png(img, color_type: int, filter_type: int, palette=None) -> bytes:
+    """Minimal PNG writer for tests: 8-bit depth, non-interlaced, every
+    row filtered with ONE chosen filter type (exercises each decode
+    branch in isolation). `img` is (h, w, nch) uint8 matching
+    color_type's channel count (palette mode: (h, w, 1) indices)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, nch = img.shape
+    bpp = nch
+    raw = img.reshape(h, w * nch).astype(np.int32)
+    prev = np.zeros(w * nch, dtype=np.int32)
+    scan = bytearray()
+    for y in range(h):
+        row = raw[y]
+        filt = np.empty_like(row)
+        for x in range(w * nch):
+            a = int(row[x - bpp]) if x >= bpp else 0  # left (reconstructed=raw)
+            b = int(prev[x])  # up
+            c = int(prev[x - bpp]) if x >= bpp else 0  # upper-left
+            if filter_type == 0:
+                pred = 0
+            elif filter_type == 1:
+                pred = a
+            elif filter_type == 2:
+                pred = b
+            elif filter_type == 3:
+                pred = (a + b) >> 1
+            else:  # paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[x] = (int(row[x]) - pred) & 0xFF
+        scan.append(filter_type)
+        scan.extend(filt.astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", bytes(palette.astype(np.uint8).reshape(-1)))
+    out += _png_chunk(b"IDAT", zlib.compress(bytes(scan)))
+    return out + _png_chunk(b"IEND", b"")
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_decode_png_all_filters_rgb(filter_type):
+    import numpy as np
+
+    from fastlink_spark.multimodal import decode_png
+
+    rng = np.random.default_rng(7 + filter_type)
+    img = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    got = decode_png(_encode_png(img, 2, filter_type))
+    assert got.shape == (13, 17, 3)
+    assert (got == img).all()
+
+
+def test_decode_png_color_types():
+    import numpy as np
+
+    from fastlink_spark.multimodal import decode_png
+
+    rng = np.random.default_rng(11)
+    # RGBA: alpha dropped
+    rgba = rng.integers(0, 256, size=(5, 4, 4), dtype=np.uint8)
+    assert (decode_png(_encode_png(rgba, 6, 4)) == rgba[:, :, :3]).all()
+    # grayscale: replicated to 3 channels
+    gray = rng.integers(0, 256, size=(6, 3, 1), dtype=np.uint8)
+    got = decode_png(_encode_png(gray, 0, 1))
+    assert (got == np.repeat(gray, 3, axis=2)).all()
+    # gray+alpha
+    ga = rng.integers(0, 256, size=(4, 5, 2), dtype=np.uint8)
+    got = decode_png(_encode_png(ga, 4, 2))
+    assert (got == np.repeat(ga[:, :, :1], 3, axis=2)).all()
+    # palette
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(7, 6, 1), dtype=np.uint8)
+    got = decode_png(_encode_png(idx, 3, 0, palette=pal))
+    assert (got == pal[idx[:, :, 0]]).all()
+
+
+def test_decode_png_rejects_bad_payloads():
+    import numpy as np
+
+    from fastlink_spark.multimodal import decode_png
+
+    img = np.zeros((3, 3, 3), dtype=np.uint8)
+    good = _encode_png(img, 2, 0)
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\nnot-a-chunk")
+    with pytest.raises(ValueError):
+        decode_png(b"BM" + good)  # wrong magic
+    with pytest.raises(ValueError):
+        decode_png(good[:40])  # truncated mid-chunk
+    # corrupt the IDAT deflate stream (flip a byte inside it)
+    bad = bytearray(good)
+    bad[-20] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    # palette index out of range
+    pal = np.zeros((2, 3), dtype=np.uint8)
+    idx = np.full((2, 2, 1), 9, dtype=np.uint8)
+    with pytest.raises(ValueError):
+        decode_png(_encode_png(idx, 3, 0, palette=pal))
+
+
+def test_extract_features_png_end_to_end(spark):
+    """image/png rides the REAL decode path through mapInPandas: the
+    distributed feature equals image_feature(decode_png(payload)) locally,
+    and a corrupt PNG row degrades to ok=False without failing the task."""
+    import numpy as np
+
+    from fastlink_spark.multimodal import (
+        decode_png,
+        extract_features,
+        image_feature,
+        with_media_metadata,
+    )
+
+    rng = np.random.default_rng(23)
+    imgs = {i: rng.integers(0, 256, size=(9, 9, 3), dtype=np.uint8) for i in range(3)}
+    rows = [(i, bytearray(_encode_png(imgs[i], 2, i + 1))) for i in range(3)]
+    rows.append((99, bytearray(b"\x89PNG\r\n\x1a\ntrash")))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    media = with_media_metadata(df, "doc_id", "payload", "image/png")
+    out = {r["doc_id"]: r for r in extract_features(media, dim=16).collect()}
+    assert not out[99]["ok"] and out[99]["feature"] is None
+    for i in range(3):
+        assert out[i]["ok"]
+        want = image_feature(decode_png(_encode_png(imgs[i], 2, i + 1)), 16)
+        assert np.allclose(np.array(out[i]["feature"], dtype=np.float32), want)
