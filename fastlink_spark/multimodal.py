@@ -125,8 +125,9 @@ def decode_png(payload: bytes) -> np.ndarray:
     DCT/entropy formats (jpeg/mp3/mp4) remain honestly stubbed.
 
     Scale note: the up filter is vectorized and sub rides a per-channel
-    cumsum; average/paeth fall back to a per-byte Python loop (the
-    left-neighbor dependency is inherently sequential). Synthetic and
+    cumsum; average/paeth loop per PIXEL with numpy channel lanes (the
+    left-neighbor dependency is inherently sequential in x, but the bpp
+    channel lanes of one pixel are independent). Synthetic and
     screenshot-style corpora are dominated by none/up/sub rows; a
     jpeg-era photo corpus at 100 TB would want a native codec anyway.
     """
@@ -193,24 +194,32 @@ def decode_png(payload: bytes) -> np.ndarray:
                 np.uint8
             ).reshape(stride)
         elif ftype == 3:  # average
-            ri = row.astype(np.int32)
-            pi = prev.astype(np.int32)
-            for x in range(stride):
-                left = int(ri[x - bpp]) if x >= bpp else 0
-                ri[x] = (ri[x] + ((left + pi[x]) >> 1)) & 0xFF
-            row = ri.astype(np.uint8)
-        elif ftype == 4:  # paeth
-            ri = row.astype(np.int32)
-            pi = prev.astype(np.int32)
-            for x in range(stride):
-                a = int(ri[x - bpp]) if x >= bpp else 0
-                b = int(pi[x])
-                c = int(pi[x - bpp]) if x >= bpp else 0
+            # left-dependency is sequential in x, but all bpp channel
+            # lanes of one pixel are independent: loop per PIXEL with
+            # numpy lanes (bpp-wide ops), not per byte
+            ri = row.reshape(w, bpp).astype(np.int32)
+            pi = prev.reshape(w, bpp).astype(np.int32)
+            left = np.zeros(bpp, dtype=np.int32)
+            for x in range(w):
+                left = (ri[x] + ((left + pi[x]) >> 1)) & 0xFF
+                ri[x] = left
+            row = ri.astype(np.uint8).reshape(stride)
+        elif ftype == 4:  # paeth — same per-pixel channel-lane scheme
+            ri = row.reshape(w, bpp).astype(np.int32)
+            pi = prev.reshape(w, bpp).astype(np.int32)
+            a = np.zeros(bpp, dtype=np.int32)
+            c = np.zeros(bpp, dtype=np.int32)
+            for x in range(w):
+                b = pi[x]
                 p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                ri[x] = (ri[x] + pred) & 0xFF
-            row = ri.astype(np.uint8)
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                a = (ri[x] + pred) & 0xFF
+                ri[x] = a
+                c = b
+            row = ri.astype(np.uint8).reshape(stride)
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = row

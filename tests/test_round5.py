@@ -969,11 +969,13 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
     )
 
 
-def _encode_png(img, color_type: int, filter_type: int, palette=None) -> bytes:
-    """Minimal PNG writer for tests: 8-bit depth, non-interlaced, every
-    row filtered with ONE chosen filter type (exercises each decode
-    branch in isolation). `img` is (h, w, nch) uint8 matching
-    color_type's channel count (palette mode: (h, w, 1) indices)."""
+def _encode_png(img, color_type: int, filter_type, palette=None) -> bytes:
+    """Minimal PNG writer for tests: 8-bit depth, non-interlaced.
+    `filter_type` is one int (every row uses it — exercises each decode
+    branch in isolation) or a per-row sequence (exercises filter
+    TRANSITIONS: e.g. paeth reading a sub-reconstructed prev row).
+    `img` is (h, w, nch) uint8 matching color_type's channel count
+    (palette mode: (h, w, 1) indices)."""
     import struct
     import zlib
 
@@ -983,28 +985,31 @@ def _encode_png(img, color_type: int, filter_type: int, palette=None) -> bytes:
     bpp = nch
     raw = img.reshape(h, w * nch).astype(np.int32)
     prev = np.zeros(w * nch, dtype=np.int32)
+    ftypes = [filter_type] * h if isinstance(filter_type, int) else list(filter_type)
+    assert len(ftypes) == h
     scan = bytearray()
     for y in range(h):
         row = raw[y]
+        ft = ftypes[y]
         filt = np.empty_like(row)
         for x in range(w * nch):
             a = int(row[x - bpp]) if x >= bpp else 0  # left (reconstructed=raw)
             b = int(prev[x])  # up
             c = int(prev[x - bpp]) if x >= bpp else 0  # upper-left
-            if filter_type == 0:
+            if ft == 0:
                 pred = 0
-            elif filter_type == 1:
+            elif ft == 1:
                 pred = a
-            elif filter_type == 2:
+            elif ft == 2:
                 pred = b
-            elif filter_type == 3:
+            elif ft == 3:
                 pred = (a + b) >> 1
             else:  # paeth
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
             filt[x] = (int(row[x]) - pred) & 0xFF
-        scan.append(filter_type)
+        scan.append(ft)
         scan.extend(filt.astype(np.uint8).tobytes())
         prev = row
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
@@ -1026,6 +1031,48 @@ def test_decode_png_all_filters_rgb(filter_type):
     got = decode_png(_encode_png(img, 2, filter_type))
     assert got.shape == (13, 17, 3)
     assert (got == img).all()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_decode_png_mixed_filters_per_row(seed):
+    """Random filter per ROW: every unfilter branch must reconstruct
+    from a prev row produced by a DIFFERENT branch (the single-filter
+    tests can't see a bug in those transitions)."""
+    import numpy as np
+
+    from fastlink_spark.multimodal import decode_png
+
+    rng = np.random.default_rng(100 + seed)
+    for nch, ctype in ((3, 2), (4, 6), (1, 0)):
+        h, w = 17, 11
+        img = rng.integers(0, 256, size=(h, w, nch), dtype=np.uint8)
+        ftypes = rng.integers(0, 5, size=h).tolist()
+        got = decode_png(_encode_png(img, ctype, ftypes))
+        want = img[:, :, :3] if ctype == 6 else (np.repeat(img, 3, axis=2) if ctype == 0 else img)
+        assert (got == want).all(), f"ctype={ctype} filters={ftypes}"
+
+
+def test_decode_png_rejects_unsupported_variants():
+    """16-bit depth and interlaced images are OUT of scope: they must
+    raise (-> ok=False row), never silently mis-decode."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from fastlink_spark.multimodal import decode_png
+
+    img = np.zeros((3, 3, 3), dtype=np.uint8)
+    good = bytearray(_encode_png(img, 2, 0))
+    # IHDR data starts at 8 (sig) + 8 (len+type); depth is byte 8 of it
+    ihdr_off = 16
+    for field_off, bad_val in ((8, 16), (12, 1)):  # depth=16; interlace=Adam7
+        b = bytearray(good)
+        b[ihdr_off + field_off] = bad_val
+        data = bytes(b[ihdr_off : ihdr_off + 13])
+        b[ihdr_off + 13 : ihdr_off + 17] = struct.pack(">I", zlib.crc32(b"IHDR" + data))
+        with pytest.raises(ValueError, match="unsupported PNG variant"):
+            decode_png(bytes(b))
 
 
 def test_decode_png_color_types():
