@@ -16,6 +16,47 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+STATIC_REWEIGHT = """\
+`name_reweight(..., renormalize_m=True)` — the last data-dependent
+driver materialization removed in r4. Physical plan (sf-agnostic;
+`out.explain("formatted")`, trimmed):
+
+```
+AdaptiveSparkPlan
++- Union
+   :- Project
+   :  +- SortMergeJoin LeftOuter            <- m_v join-back (AQE converts
+   :     :- ... BroadcastHashJoin ...          to broadcast at runtime when
+   :     :      (p_v frequencies, bounded)     the count table is small)
+   :     +- Sort/Exchange
+   :        +- Window                       <- total = window-sum over the
+   :           +- HashAggregate (final)        COUNT table only (rows =
+   :              +- Exchange                  distinct matched values),
+   :                 +- HashAggregate (partial_count)   never the pair stream
+   :                    +- Filter (gamma=2 AND zeta>=t)
+   +- Project/Filter (non-agreeing passthrough)
+```
+
+Scale reading: the pair stream is touched by exactly one
+map-side-combining aggregation (partial_count before the exchange);
+the Window's single-task exchange receives only the per-value count
+table (a few MB at millions of distinct values); the join-back is
+unhinted so AQE picks broadcast vs shuffle by the table's measured
+size. No `.collect()`, no `createDataFrame` — verified structurally by
+test_round4's poisoned-collect guard.
+"""
+
+STATIC_MATCHED = """\
+`pipeline.matched_from_zeta` is the ONE matched-stage definition
+for batch, streaming, compaction, and two-table linkage (r4 refactor).
+Plan verified post-refactor: the zeta pattern table (<=3^K rows) still
+enters as `BroadcastHashJoin` (explicit broadcast hint survives the
+extraction), FS threshold + deterministic pass + max-zeta dedup
+unchanged — and any future change to the match rule now lands in all
+four paths at once.
+"""
+
+
 def explain_str(df) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
@@ -148,6 +189,36 @@ def main() -> None:
         )
     )
 
+    # 7. r5: high-k clusterMatch assignment — above CODEGEN_MAX_TERMS
+    #    the literal expression is replaced by a broadcast-centroid
+    #    Arrow pandas-UDF argmin (bit-identical by construction)
+    import fastlink_spark.operators.cluster_match as cm
+
+    wide_cents = [[float(i + j) for j in range(cm.N_DIMS)] for i in range(96)]
+    sections.append(
+        (
+            "high-k clusterMatch assignment (r5 pandas-argmin path)",
+            "expect: for k*27 > CODEGEN_MAX_TERMS the assignment is ONE "
+            "ArrowEvalPython node over the feature scan (centroids ride the "
+            "closure — broadcast-by-serialization, no join, no Exchange); the "
+            "NumPy kernel accumulates (x-c)^2 in the codegen path's exact IEEE "
+            "op order, so the two paths are bit-identical (tested at k=64).",
+            explain_str(cm.assign_clusters(feats, wide_cents)),
+        )
+    )
+
+    # 8-9. Static sections (hand-written plan analyses that regen must
+    #    not drop — the r4 BASELINE.md sentinel-section lesson): the
+    #    generator owns them now.
+    sections.append(
+        (
+            "collect-free nameReweight m-renormalization (r4)",
+            STATIC_REWEIGHT,
+            None,
+        )
+    )
+    sections.append(("shared matched-pair rule (r4 refactor)", STATIC_MATCHED, None))
+
     out = [
         "# PLANS — physical-plan evidence for the scale claims (SCALE.md)",
         "",
@@ -155,7 +226,10 @@ def main() -> None:
         "",
     ]
     for title, claim, plan in sections:
-        out += [f"## {title}", "", claim, "", "```", plan.strip(), "```", ""]
+        if plan is None:  # static analysis section (claim carries the body)
+            out += [f"## {title}", "", claim.strip(), ""]
+        else:
+            out += [f"## {title}", "", claim, "", "```", plan.strip(), "```", ""]
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print("wrote PLANS.md")
