@@ -89,7 +89,7 @@ def main() -> None:
     pages = spark.read.parquet(tmp)
     cfg = LinkageConfig()
 
-    sections: list[tuple[str, str, str]] = []
+    sections: list[tuple[str, str, str | None]] = []  # None plan = static section
 
     # 1. scan + normalize: expect ReadSchema pruned to used columns,
     #    single WholeStageCodegen, no shuffle

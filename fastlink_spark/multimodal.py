@@ -114,6 +114,12 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return rows[:, :, ::-1]  # BGR -> RGB
 
 
+# decode cap: h*(stride+1) unfiltered bytes (256 MB ~ a 9500x9500 RGB
+# image). Bounds the inflate AND the pixel buffer per row of the Arrow
+# batch; bigger images are a ValueError -> ok=False row, never an OOM.
+PNG_MAX_PIXEL_BYTES = 1 << 28
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """8-bit non-interlaced PNG (gray / gray+alpha / RGB / RGBA /
     palette) -> (h, w, 3) uint8 RGB. Pure stdlib ``zlib`` + NumPy: chunk
@@ -125,11 +131,16 @@ def decode_png(payload: bytes) -> np.ndarray:
     DCT/entropy formats (jpeg/mp3/mp4) remain honestly stubbed.
 
     Scale note: the up filter is vectorized and sub rides a per-channel
-    cumsum; average/paeth loop per PIXEL with numpy channel lanes (the
-    left-neighbor dependency is inherently sequential in x, but the bpp
-    channel lanes of one pixel are independent). Synthetic and
-    screenshot-style corpora are dominated by none/up/sub rows; a
-    jpeg-era photo corpus at 100 TB would want a native codec anyway.
+    cumsum; average/paeth are a plain-int Python loop per byte — the
+    left-neighbor dependency is inherently sequential, and int-list
+    arithmetic measured faster than every numpy formulation tried
+    (tiny-array / scalar-indexing op overhead dominates). Inflate and
+    pixel buffers are capped by PNG_MAX_PIXEL_BYTES (declared-dims
+    bound enforced BEFORE the stream-controlled zlib inflate), so a
+    crafted payload degrades to ok=False instead of an executor OOM.
+    Synthetic and screenshot-style corpora are dominated by
+    none/up/sub rows; a jpeg-era photo corpus at 100 TB would want a
+    native codec anyway.
     """
     import zlib
 
@@ -170,12 +181,27 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported PNG color type {ctype}")
     if w <= 0 or h <= 0:
         raise ValueError("bad PNG dimensions")
+    stride = w * nch
+    expected = h * (stride + 1)
+    # bound BOTH allocations by the declared dimensions BEFORE inflating:
+    # zlib.decompress output size is stream-controlled (~1032:1), so an
+    # unbounded inflate would let one crafted row OOM the task — a
+    # MemoryError is NOT in the per-row catch list and would fail the
+    # whole job, violating the module's ok=False contract
+    if expected > PNG_MAX_PIXEL_BYTES:
+        raise ValueError(
+            f"PNG dimensions {w}x{h}x{nch} exceed the decode cap "
+            f"({expected} > {PNG_MAX_PIXEL_BYTES} bytes)"
+        )
     try:
-        raw = zlib.decompress(b"".join(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected)
+        if d.unconsumed_tail:
+            raise ValueError("PNG IDAT inflates beyond the declared dimensions")
+        d.flush()  # reaches stream end -> adler32 verified (zlib.error on corruption)
     except zlib.error as e:
         raise ValueError(f"bad PNG IDAT stream: {e}") from e
-    stride = w * nch
-    if len(raw) < h * (stride + 1):
+    if len(raw) < expected:
         raise ValueError("truncated PNG pixel data")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
@@ -194,32 +220,30 @@ def decode_png(payload: bytes) -> np.ndarray:
                 np.uint8
             ).reshape(stride)
         elif ftype == 3:  # average
-            # left-dependency is sequential in x, but all bpp channel
-            # lanes of one pixel are independent: loop per PIXEL with
-            # numpy lanes (bpp-wide ops), not per byte
-            ri = row.reshape(w, bpp).astype(np.int32)
-            pi = prev.reshape(w, bpp).astype(np.int32)
-            left = np.zeros(bpp, dtype=np.int32)
-            for x in range(w):
-                left = (ri[x] + ((left + pi[x]) >> 1)) & 0xFF
-                ri[x] = left
-            row = ri.astype(np.uint8).reshape(stride)
-        elif ftype == 4:  # paeth — same per-pixel channel-lane scheme
-            ri = row.reshape(w, bpp).astype(np.int32)
-            pi = prev.reshape(w, bpp).astype(np.int32)
-            a = np.zeros(bpp, dtype=np.int32)
-            c = np.zeros(bpp, dtype=np.int32)
-            for x in range(w):
-                b = pi[x]
+            # the left dependency is inherently sequential; plain Python
+            # ints over a list beat ANY numpy formulation here (measured:
+            # numpy scalar/slice indexing in the loop is ~10x slower than
+            # int arithmetic — tiny-array op overhead dominates)
+            cur = row.tolist()
+            pv = prev.tolist()
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + pv[x]) >> 1)) & 0xFF
+            row = np.asarray(cur, dtype=np.uint8)
+        elif ftype == 4:  # paeth — same plain-int scheme
+            cur = row.tolist()
+            pv = prev.tolist()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = pv[x]
+                c = pv[x - bpp] if x >= bpp else 0
                 p = a + b - c
-                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-                pred = np.where(
-                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
-                )
-                a = (ri[x] + pred) & 0xFF
-                ri[x] = a
-                c = b
-            row = ri.astype(np.uint8).reshape(stride)
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+            row = np.asarray(cur, dtype=np.uint8)
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = row

@@ -1112,9 +1112,14 @@ def test_decode_png_rejects_bad_payloads():
         decode_png(b"BM" + good)  # wrong magic
     with pytest.raises(ValueError):
         decode_png(good[:40])  # truncated mid-chunk
-    # corrupt the IDAT deflate stream (flip a byte inside it)
+    # corrupt the IDAT deflate stream: flip a byte at a COMPUTED offset
+    # inside the chunk data (a fixed negative index is layout-dependent
+    # and could drift into the CRC, which the decoder ignores)
+    idat_at = good.index(b"IDAT")
+    idat_len = int.from_bytes(good[idat_at - 4 : idat_at], "big")
+    assert idat_len >= 3
     bad = bytearray(good)
-    bad[-20] ^= 0xFF
+    bad[idat_at + 4 + idat_len // 2] ^= 0xFF
     with pytest.raises(ValueError):
         decode_png(bytes(bad))
     # palette index out of range
@@ -1122,6 +1127,41 @@ def test_decode_png_rejects_bad_payloads():
     idx = np.full((2, 2, 1), 9, dtype=np.uint8)
     with pytest.raises(ValueError):
         decode_png(_encode_png(idx, 3, 0, palette=pal))
+
+
+def test_decode_png_bounds_memory_before_inflate():
+    """A crafted PNG must degrade to ValueError (-> ok=False row), never
+    an executor OOM: (a) huge DECLARED dimensions are rejected before
+    any allocation; (b) an IDAT stream inflating beyond the declared
+    dimensions (zip-bomb shape) is rejected mid-inflate, bounded by the
+    declared size — zlib.decompress alone would expand ~1032:1."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from fastlink_spark.multimodal import PNG_MAX_PIXEL_BYTES, decode_png
+
+    def png(w, h, idat):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat)
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # (a) declared 50000x50000 RGB = 7.5 GB > cap, tiny payload
+    with pytest.raises(ValueError, match="decode cap"):
+        decode_png(png(50_000, 50_000, zlib.compress(b"\x00" * 64)))
+    assert 50_000 * 50_000 * 3 > PNG_MAX_PIXEL_BYTES  # the case is real
+    # (b) declared 2x2 but the stream inflates to 1 MB
+    bomb = zlib.compress(b"\x00" * (1 << 20), 9)
+    with pytest.raises(ValueError, match="beyond the declared"):
+        decode_png(png(2, 2, bomb))
+    # sanity: a conforming image still decodes after the guards
+    img = np.full((2, 2, 3), 7, dtype=np.uint8)
+    assert (decode_png(_encode_png(img, 2, 0)) == img).all()
 
 
 def test_extract_features_png_end_to_end(spark):
