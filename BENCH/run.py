@@ -39,6 +39,11 @@ def run_bench(cpus: int, nbase: int, sf_dir: str, *, wide: bool = False) -> dict
             "BENCH_PAGES_NBASE": str(nbase),
             "SPARK_GRAFT_SF_DIR": sf_dir,
             "BENCH_WIDE_E2E": "1" if wide else "0",
+            # one attempt per rep: the sweep's median-of-reps is the
+            # pinned contention estimator here; bench.py's own
+            # retry-until-clean loop (r6) is for the single-shot
+            # driver artifact
+            "BENCH_MAX_ATTEMPTS": "1",
         }
     )
     out = subprocess.run(
@@ -184,6 +189,19 @@ def main() -> None:
         "(this is the diff that caught simhash in r2). The same rule applies to",
         "THIS file's reps: each raw JSON line below carries its own sentinel;",
         "a width whose median rep is contended is flagged under the table.**",
+        "",
+        "**Self-healing (r6)**: the single-shot `bench.py` (the driver's",
+        "BENCH_r{N}.json) no longer merely diagnoses — on `contended=true` it",
+        "re-runs itself up to BENCH_MAX_ATTEMPTS (default 3) times with a",
+        "cool-down, emitting the FIRST CLEAN attempt; if every attempt is",
+        "contended it emits the least-contended one marked",
+        "`all_attempts_contended: true`. Every attempt's sentinel is kept in",
+        "the `attempts` array. This sweep pins BENCH_MAX_ATTEMPTS=1 per rep:",
+        "median-of-reps is its own contention estimator and a per-rep retry",
+        "would bias it. Caveat (unchanged): the sentinel is one-sided —",
+        "`contended=false` does not PROVE cleanliness (see the arbitration",
+        "example in the twin section); the retry loop only fixes the",
+        "false-positive direction, which is the one that poisoned r4/r5.",
         "",
         f"- pages fixture: n_base={args.nbase} -> {results[widths[-1]]['n_pages']} pages",
         f"- candidate pairs scored: {results[widths[-1]]['n_candidate_pairs']}",

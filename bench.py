@@ -177,7 +177,9 @@ def _sentinel_close(
     }
 
 
-def main() -> None:
+def run_once() -> dict:
+    """One full bench pass; returns the result dict (sentinel included)
+    without printing. main() wraps this in the retry-until-clean loop."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_base = int(os.environ.get("BENCH_PAGES_NBASE", "4000"))
@@ -364,7 +366,50 @@ def main() -> None:
             sentinel_pre, queries["fixture_gen"], cpus, n_base
         ),
     }
-    print(json.dumps(out))
+    return out
+
+
+def main() -> None:
+    """Retry-until-clean (VERDICT r5 "What's wrong #1" → "Next round
+    #2"): BENCH_r04 and BENCH_r05 were both contention-contaminated,
+    making the per-round diff signal unusable two rounds running. The
+    sentinel DIAGNOSES contention; this loop REPAIRS the artifact: on
+    contended=true the whole bench re-runs (fresh sentinel window each
+    attempt, short cool-down between) up to BENCH_MAX_ATTEMPTS times
+    and the FIRST CLEAN attempt is the emitted JSON line. If every
+    attempt is contended the least-contended one is emitted with an
+    explicit ``all_attempts_contended: true`` marker. All attempts'
+    sentinels ride along in ``attempts`` either way, so the artifact
+    records what it took. BENCH/run.py sets BENCH_MAX_ATTEMPTS=1 — the
+    sweep's median-of-reps is its own (pinned) contention estimator and
+    a per-rep retry would bias it."""
+    max_attempts = max(1, int(os.environ.get("BENCH_MAX_ATTEMPTS", "3")))
+    attempts: list[dict] = []
+    chosen = None
+    for i in range(max_attempts):
+        out = run_once()
+        attempts.append(out)
+        if not out["sentinel"]["contended"]:
+            chosen = out
+            break
+        if i < max_attempts - 1:
+            print(
+                f"bench: attempt {i + 1}/{max_attempts} contended "
+                f"(steal {out['sentinel']['steal_pct']}%, foreign "
+                f"{out['sentinel']['foreign_busy_pct']}%) — cooling down and retrying",
+                file=sys.stderr,
+            )
+            time.sleep(float(os.environ.get("BENCH_RETRY_COOLDOWN_SEC", "20")))
+    if chosen is None:
+        # least-contended fallback: minimize the two direct foreign-load
+        # signals (ALU ratio is the noisiest of the three — turbo spread)
+        chosen = min(
+            attempts,
+            key=lambda o: o["sentinel"]["steal_pct"] + o["sentinel"]["foreign_busy_pct"],
+        )
+        chosen["all_attempts_contended"] = True
+    chosen["attempts"] = [a["sentinel"] for a in attempts]
+    print(json.dumps(chosen))
     sys.stdout.flush()
 
 

@@ -22,6 +22,7 @@ Implementation: classic EM over the complete-pattern grid.
 from __future__ import annotations
 
 import itertools
+import math
 
 import numpy as np
 import pandas as pd
@@ -137,7 +138,10 @@ def emlink_log(
         for c in gamma_cols
     }
     shape = tuple(len(levels[c]) for c in gamma_cols)
-    G = int(np.prod([len(levels[c]) for c in gamma_cols], dtype=np.int64))
+    # Python-int product: np.prod(dtype=int64) wraps silently past 2^63
+    # (~40 three-level fields), sneaking a huge grid under the cap below
+    # (r6 ADVICE)
+    G = math.prod(len(levels[c]) for c in gamma_cols)
     # the joint grid is EXPONENTIAL in field count (G = prod of level
     # counts); masks is R x G and the E-step builds R x G float
     # temporaries — at 12 three-level fields that is driver-OOM

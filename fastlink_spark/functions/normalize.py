@@ -56,7 +56,10 @@ def url_norm(url: Column) -> Column:
     empty query removed."""
     scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", 1))
     rest = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", "")
-    rest = F.regexp_replace(rest, r"^[^/?#@]*@", "")  # userinfo
+    # userinfo strip ONLY when a scheme actually matched (r6 ADVICE):
+    # on scheme-less inputs `rest` is the raw string, and 'mailto:a@b'
+    # or a bare 'user@host/x' would lose its prefix otherwise
+    rest = F.when(scheme != "", F.regexp_replace(rest, r"^[^/?#@]*@", "")).otherwise(rest)
     host_port = r"^((?:\[[^\]]*\])|[^/?#:]+):{}(?=[/?#]|$)"
     rest = (
         F.when(scheme == "https", F.regexp_replace(rest, host_port.format(443), "$1"))

@@ -76,14 +76,18 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     n = w * h * 3
     # CRLF-writer tolerance (r5 review): a non-conforming '\r\n' after
     # maxval used to leave the '\n' inside the pixel data, silently
-    # shifting every channel by one byte. The total length
-    # disambiguates: skip extra leading whitespace until exactly n
-    # pixel bytes remain (pixel values that happen to BE whitespace
-    # bytes are safe — the loop only runs while there is surplus).
-    while len(payload) - pos > n and payload[pos : pos + 1].isspace():
+    # shifting every channel by one byte. The skip is capped at exactly
+    # that case — surplus length alone cannot distinguish extra LEADING
+    # header whitespace from trailing junk when the first pixel byte is
+    # whitespace-valued (9/10/13/32), so a general skip-while-surplus
+    # loop can eat a real pixel byte (r6 ADVICE). Anything else that
+    # leaves the payload length off by even one byte fails loudly.
+    if payload[pos - 1 : pos] == b"\r" and payload[pos : pos + 1] == b"\n":
         pos += 1
     if len(payload) - pos < n:
         raise ValueError("truncated PPM pixel data")
+    if len(payload) - pos > n:
+        raise ValueError("surplus bytes around PPM pixel data")
     img = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
     return img.reshape(h, w, 3)
 

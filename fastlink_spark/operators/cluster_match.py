@@ -107,14 +107,33 @@ def _pandas_assign(centroids: list[list[float]]):
         mask = v.notna().to_numpy()
         res = pd.array([None] * len(v), dtype="Int32")
         if mask.any():
-            X = np.asarray(v[mask].tolist(), dtype=np.float64)
+            X = _vec_matrix(v[mask])
             out = np.empty(len(X), dtype=np.int32)
             for s in range(0, len(X), _NP_CHUNK):
                 out[s : s + _NP_CHUNK] = _np_dists(X[s : s + _NP_CHUNK], C).argmin(axis=1)
-            res[mask] = out
+            # rows with a null/NaN ELEMENT (Arrow conflates the two:
+            # both arrive as nan) -> null cluster, mirroring the
+            # codegen path's isnan/null guard (r6 ADVICE: these rows
+            # previously argmin'd to cluster 0 through all-nan
+            # distances)
+            vals = pd.array(out, dtype="Int32")
+            vals[np.isnan(X).any(axis=1)] = None
+            res[mask] = vals
         return pd.Series(res)
 
     return assign
+
+
+def _vec_matrix(v_masked: pd.Series) -> "np.ndarray":
+    """Non-null vector rows -> (n, dims) float64 with null ELEMENTS as
+    nan (Arrow already delivers list<double> nulls as nan; a caller
+    handing plain Python lists with None goes through the same
+    object->float conversion instead of raising TypeError)."""
+    rows = v_masked.tolist()
+    try:
+        return np.asarray(rows, dtype=np.float64)
+    except (TypeError, ValueError):
+        return pd.DataFrame(rows).to_numpy(dtype=np.float64)
 
 
 def _pandas_min_dist(centroids: list[list[float]]):
@@ -130,11 +149,17 @@ def _pandas_min_dist(centroids: list[list[float]]):
         mask = v.notna().to_numpy()
         res = pd.array([None] * len(v), dtype="Float64")
         if mask.any():
-            X = np.asarray(v[mask].tolist(), dtype=np.float64)
+            X = _vec_matrix(v[mask])
             out = np.empty(len(X), dtype=np.float64)
             for s in range(0, len(X), _NP_CHUNK):
                 out[s : s + _NP_CHUNK] = _np_dists(X[s : s + _NP_CHUNK], C).min(axis=1)
-            res[mask] = out
+            # nan distances (null/NaN element rows) -> null, same as
+            # the codegen path's isnan guard; assigning nan into a
+            # Float64 masked array already maps to NA, the isnan mask
+            # just makes the contract explicit
+            vals = pd.array(out, dtype="Float64")
+            vals[np.isnan(out)] = None
+            res[mask] = vals
         return pd.Series(res)
 
     return min_dist
@@ -150,8 +175,17 @@ def assign_clusters(
     if len(centroids) * N_DIMS > CODEGEN_MAX_TERMS:
         return feats.withColumn("cluster", _pandas_assign(centroids)(F.col(vec_col)))
     arr = F.array(*[_dist(vec_col, c) for c in centroids])
+    m = F.array_min(arr)
+    # NaN guard (r6 ADVICE): a NaN feature element makes every distance
+    # NaN; Spark's NaN==NaN semantics would then return cluster 0 via
+    # array_position. Emit null instead — the same verdict as a null
+    # element (Arrow conflates the two on the pandas path, so null is
+    # the one answer both paths can agree on bit-for-bit). when()'s
+    # null-condition fallthrough also covers the wholly-null/
+    # null-element case (isnan(null) -> null -> otherwise null).
     return feats.withColumn(
-        "cluster", (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+        "cluster",
+        F.when(~F.isnan(m), F.array_position(arr, m) - 1).cast("int"),
     )
 
 
@@ -202,7 +236,11 @@ def fit_kmeans(
             if len(cents) * N_DIMS > CODEGEN_MAX_TERMS:
                 d_col = _pandas_min_dist(cents)(F.col(vec_col))
             else:
-                d_col = F.array_min(F.array(*[_dist(vec_col, c) for c in cents]))
+                mn = F.array_min(F.array(*[_dist(vec_col, c) for c in cents]))
+                # NaN -> null so a NaN-element row can never win the
+                # farthest-first orderBy (desc puts NaN above every
+                # real distance) — and so both paths stay bit-equal
+                d_col = F.when(~F.isnan(mn), mn)
             nxt = (
                 feats.select(F.col(vec_col), d_col.alias("_d"), F.col(id_col).alias("_i"))
                 .orderBy(F.desc("_d"), F.asc("_i"))

@@ -56,35 +56,37 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
-    existing = SparkSession.getActiveSession()
     spark = builder.getOrCreate()
-    if existing is not None and spark is existing:
-        # getOrCreate() on a live session IGNORES every requested
-        # config — surface the divergences instead of silently running
-        # with stale settings (r5 review). Runtime-settable keys could
-        # be re-applied, but master/memory can't; one loud line beats a
-        # half-applied mix.
-        import sys
+    # getOrCreate() on a live session IGNORES every requested config —
+    # surface the divergences instead of silently running with stale
+    # settings (r5 review). The check runs UNCONDITIONALLY against the
+    # returned session (r6 ADVICE): getActiveSession() is thread-local,
+    # so gating on it missed exactly the cross-thread DEFAULT-session
+    # reuse the warning exists for; a freshly created session trivially
+    # matches every requested value and stays silent. Runtime-settable
+    # keys could be re-applied, but master/memory can't; one loud line
+    # beats a half-applied mix.
+    import sys
 
-        wanted = {
-            "spark.sql.shuffle.partitions": str(shuffle_partitions),
-            **({k: str(v) for k, v in (extra_conf or {}).items()}),
-        }
-        diffs = []
-        for k, v in wanted.items():
-            try:
-                cur = spark.conf.get(k)
-            except Exception:
-                cur = None
-            if cur != v:
-                diffs.append(f"{k}={cur!r} (wanted {v!r})")
-        if spark.sparkContext.master != master:
-            diffs.append(f"master={spark.sparkContext.master!r} (wanted {master!r})")
-        if diffs:
-            print(
-                "fastlink: WARNING get_spark() returned the EXISTING "
-                "session; requested configs not applied: " + "; ".join(diffs),
-                file=sys.stderr,
-            )
+    wanted = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        **({k: str(v) for k, v in (extra_conf or {}).items()}),
+    }
+    diffs = []
+    for k, v in wanted.items():
+        try:
+            cur = spark.conf.get(k)
+        except Exception:
+            cur = None
+        if cur != v:
+            diffs.append(f"{k}={cur!r} (wanted {v!r})")
+    if spark.sparkContext.master != master:
+        diffs.append(f"master={spark.sparkContext.master!r} (wanted {master!r})")
+    if diffs:
+        print(
+            "fastlink: WARNING get_spark() returned an EXISTING "
+            "session; requested configs not applied: " + "; ".join(diffs),
+            file=sys.stderr,
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark

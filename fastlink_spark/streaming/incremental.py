@@ -210,12 +210,25 @@ class IncrementalLinker:
     def _read_relabels(self) -> dict:
         return self._relabels_from(self._load_manifest())
 
-    def entities(self, manifest: dict | None = None) -> DataFrame | None:
+    def entities(
+        self, manifest: dict | None = None, _prune_keys: DataFrame | None = None
+    ) -> DataFrame | None:
         """Entity state: one row per rec_id (its LATEST assignment by
         _seq — re-crawls supersede, never duplicate) with the relabel
         map applied as a broadcast join (tiny: one row per merge
         event). compact() collapses both read-time layers to a plain
         scan.
+
+        ``_prune_keys`` (internal, r6 verdict item 1): a DataFrame with
+        a ``rec_id`` column; when given, the segment union is left-semi
+        filtered to those keys BEFORE the latest-wins groupBy. Both
+        read-time layers are per-key (max_by per rec_id; relabel per
+        cluster_id of the surviving row), so pruning by key is
+        semantics-preserving: the result is exactly
+        ``entities().join(keys, "rec_id", "leftsemi")`` without the
+        full-corpus aggregation. process_batch uses this to scale the
+        per-batch partner lookup with the batch, not the corpus — the
+        symmetric twin of the r4 records-index pruning.
 
         The winning row is picked by max_by over a struct of
         (_seq, ~xxhash64(cluster_id,url)) — i.e. _seq desc with a
@@ -229,6 +242,10 @@ class IncrementalLinker:
         ent = self._read_segments(manifest, "entities")
         if ent is None:
             return None
+        if _prune_keys is not None:
+            ent = ent.join(
+                _prune_keys.select("rec_id").distinct(), "rec_id", "leftsemi"
+            )
         # bitwise_not flips the total order of the hash without the
         # overflow hazard of negating Long.MIN_VALUE, so max_by(~h)
         # == asc-hash winner — mirroring compact()'s ORDER BY
@@ -353,11 +370,25 @@ class IncrementalLinker:
         else:
             # THE shared matched-pair rule (frozen zeta + deterministic
             # pass) — identical by construction to the batch pipeline
-            # and compact()
+            # and compact(). Materialized once: the frame feeds the
+            # prune-key scan, the partner join AND the conflict check —
+            # three consumers of one gamma-scored plan.
             zdf = zeta_pattern_df(self.spark, apply_em(patt, self.em), gcols)
-            matched = matched_from_zeta(scored, zdf, gcols, cfg)
+            matched = mat(matched_from_zeta(scored, zdf, gcols, cfg), "matched")
 
-        old_ent = self.entities(manifest)
+        # partner lookup pruned to the batch's matched partner-id set
+        # (r6 verdict item 1): the latest-wins groupBy runs over ONLY
+        # the entity-segment rows this batch can touch, so per-batch
+        # cost scales with the batch — the records index got the same
+        # treatment in r4; this was the last O(corpus)-per-batch term.
+        # When nothing matched, the state read is skipped outright.
+        if matched is not None:
+            old_ent = self.entities(
+                manifest,
+                _prune_keys=matched.select(F.col("b_rec_id").alias("rec_id")),
+            )
+        else:
+            old_ent = None
         idt = self._id_ddl()
         if matched is not None and old_ent is not None:
             partner_clusters = matched.join(
