@@ -207,7 +207,68 @@ def main() -> None:
         )
     )
 
-    # 8-9. Static sections (hand-written plan analyses that regen must
+    # 8. r6: pruned per-batch entities lookup (verdict item 1) — the
+    #    left-semi filter lands BETWEEN the segment-union scan and the
+    #    latest-wins aggregate, so the groupBy's input is the pruned
+    #    row set, never the corpus. State synthesized directly (two
+    #    entity segments + a relabel map) — the plan shape is identical
+    #    to a real stream's.
+    import json as _json
+    import shutil
+
+    from fastlink_spark.em import EMResult
+    from fastlink_spark.streaming.incremental import IncrementalLinker
+
+    st = "/tmp/fl_plans_state"
+    shutil.rmtree(st, ignore_errors=True)
+    os.makedirs(st)
+    ent_rows = spark.createDataFrame(
+        [
+            (i, i % 7, f"https://e{i}.example/", s)
+            for i in range(200)
+            for s in ([1, 2] if i % 10 == 0 else [1])
+        ],
+        "rec_id long, cluster_id long, url string, _seq long",
+    )
+    ent_rows.where("_seq = 1").write.mode("overwrite").parquet(
+        f"{st}/seg_000001_entities"
+    )
+    ent_rows.where("_seq = 2").write.mode("overwrite").parquet(
+        f"{st}/seg_000002_entities"
+    )
+    with open(f"{st}/MANIFEST.json", "w") as mf:
+        _json.dump(
+            {
+                "version": 2,
+                "seq": 2,
+                "last_batch_id": 1,
+                "records": [],
+                "entities": ["seg_000001_entities", "seg_000002_entities"],
+                "relabels": {"3": 1},
+            },
+            mf,
+        )
+    dummy_em = EMResult(
+        gamma_cols=[], levels={}, lam=0.1, m={}, u={}, iterations=0, converged=True
+    )
+    linker = IncrementalLinker(spark, st, dummy_em, LinkageConfig())
+    prune_keys = spark.createDataFrame([(i,) for i in range(50)], "rec_id long")
+    sections.append(
+        (
+            "pruned per-batch entities lookup (IncrementalLinker, r6)",
+            "expect: a LeftSemi join on rec_id sits BETWEEN the entity-segment "
+            "union scan and the latest-wins HashAggregate (max_by) — the "
+            "aggregate's input is the pruned key set, not full corpus state; the "
+            "relabel map enters as a BroadcastHashJoin after. process_batch "
+            "passes the batch's matched partner-id set as the prune keys, so "
+            "per-batch cost scales with the batch (the symmetric twin of the "
+            "r4 records-index prune; the last O(corpus)-per-batch term gone). "
+            "When a batch matches nothing, the state read is skipped entirely.",
+            explain_str(linker.entities(_prune_keys=prune_keys)),
+        )
+    )
+
+    # 9-10. Static sections (hand-written plan analyses that regen must
     #    not drop — the r4 BASELINE.md sentinel-section lesson): the
     #    generator owns them now.
     sections.append(

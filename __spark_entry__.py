@@ -782,6 +782,62 @@ def _soundex_twin(s: str) -> str:
     return ("".join(out) + "000")[:4]
 
 
+def q33_dedupe_one_to_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard oracle for the greedy 1:1 assignment (SURVEY.md J8/G11/W1 —
+    ``R/dedupeMatches.R``; r5 verdict item 4: the largest remaining
+    pytest-only operator). Deterministic pair table: same-source doc
+    pairs thinned by (a + 2b) % 5 = 0 (1,200 pairs at sf0.01) with an
+    integer-derived DOUBLE score over 97 distinct values — dense ties,
+    so the (score desc, partner asc) tie-break is load-bearing. Spark
+    runs the PRODUCTION ``dedupe_matches`` (distributed mutual-best
+    fixpoint + exact per-component tail); the oracle re-implements
+    sequential greedy INDEPENDENTLY as an iterated rank-1 fixpoint in a
+    DuckDB recursive CTE — fully in-SQL, no injected literals (the
+    mutual-best fixpoint equals sequential greedy under a total order:
+    the globally best remaining pair is always mutual-best)."""
+    from fastlink_spark.operators.dedupe_matches import dedupe_matches
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    a = d.select(F.col("doc_id").alias("id_a"), "source")
+    b = d.select(F.col("doc_id").alias("id_b"), "source")
+    pairs = (
+        a.join(b, "source")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where((F.col("id_a") + 2 * F.col("id_b")) % 5 == 0)
+        .select(
+            "id_a",
+            "id_b",
+            (
+                ((F.col("id_a") * 131 + F.col("id_b") * 17) % 97 + 1).cast("double")
+                / F.lit(100.0)
+            ).alias("score"),
+        )
+    )
+    return dedupe_matches(pairs, id_a="id_a", id_b="id_b", score="score").select(
+        "id_a", "id_b", "score"
+    )
+
+
+def q34_string_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stringSubset fuzzy semi-join (SURVEY.md J9 —
+    ``R/stringSubset.R``; r5 verdict item 7): keep only records
+    participating in >=1 candidate pair. Production ``string_subset``
+    over a deterministic same-source pair set; oracle = the equivalent
+    IN-subquery semi-join."""
+    from fastlink_spark.operators.subset import string_subset
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    a = d.select(F.col("doc_id").alias("a_rec_id"), "source")
+    b = d.select(F.col("doc_id").alias("b_rec_id"), "source")
+    pairs = (
+        a.join(b, "source")
+        .where(F.col("a_rec_id") < F.col("b_rec_id"))
+        .where((F.col("a_rec_id") * 7 + F.col("b_rec_id")) % 11 == 0)
+        .select("a_rec_id", "b_rec_id")
+    )
+    return string_subset(d, pairs, "doc_id").select("doc_id", "source", "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_block_profile": q01_block_profile,
@@ -816,6 +872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_cluster_match": q30_cluster_match,
         "q31_edit_distances": q31_edit_distances,
         "q32_soundex": q32_soundex,
+        "q33_dedupe_one_to_one": q33_dedupe_one_to_one,
+        "q34_string_subset": q34_string_subset,
     }
 
 
@@ -1408,5 +1466,49 @@ def oracle_sql() -> dict[str, str]:
             "                      WHEN n_tokens >= 10 THEN 20 ELSE 0 END) "
             " + (CASE WHEN ar >= 6000 THEN 30 WHEN ar >= 3000 THEN 15 ELSE 0 END) "
             " + (CASE WHEN sr >= 100 THEN 30 ELSE 10 END) AS INT) AS q FROM r"
+        ),
+        # q33: fully-independent in-SQL greedy 1:1 — sequential greedy
+        # re-expressed as an iterated mutual-rank-1 fixpoint inside a
+        # recursive CTE (each round accepts pairs that are rank 1 for
+        # BOTH endpoints under (score DESC, partner ASC), then drops
+        # every pair touching an accepted endpoint; equals sequential
+        # greedy because the globally best remaining pair is always
+        # mutual-best). No injected literals, unlike q29-q32.
+        "q33_dedupe_one_to_one": (
+            "WITH RECURSIVE p AS ("
+            " SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "  CAST((a.doc_id * 131 + b.doc_id * 17) % 97 + 1 AS DOUBLE) / CAST(100.0 AS DOUBLE) AS score "
+            " FROM documents a JOIN documents b "
+            "   ON a.source = b.source AND a.doc_id < b.doc_id "
+            " WHERE (a.doc_id + 2 * b.doc_id) % 5 = 0), "
+            "g(id_a, id_b, score, accepted) AS ("
+            " SELECT id_a, id_b, score, false FROM p "
+            " UNION ALL "
+            " SELECT id_a, id_b, score, mut FROM ("
+            "   SELECT id_a, id_b, score, "
+            "    (row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) = 1 "
+            "     AND row_number() OVER (PARTITION BY id_b ORDER BY score DESC, id_a ASC) = 1) AS mut "
+            "   FROM g WHERE NOT accepted) r "
+            " WHERE mut "
+            "    OR (id_a NOT IN (SELECT id_a FROM ("
+            "          SELECT id_a, "
+            "           row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS ra, "
+            "           row_number() OVER (PARTITION BY id_b ORDER BY score DESC, id_a ASC) AS rb "
+            "          FROM g WHERE NOT accepted) x WHERE ra = 1 AND rb = 1) "
+            "        AND id_b NOT IN (SELECT id_b FROM ("
+            "          SELECT id_b, "
+            "           row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS ra, "
+            "           row_number() OVER (PARTITION BY id_b ORDER BY score DESC, id_a ASC) AS rb "
+            "          FROM g WHERE NOT accepted) y WHERE ra = 1 AND rb = 1))) "
+            "SELECT id_a, id_b, score FROM g WHERE accepted"
+        ),
+        "q34_string_subset": (
+            "WITH p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            " FROM documents a JOIN documents b "
+            "   ON a.source = b.source AND a.doc_id < b.doc_id "
+            " WHERE (a.doc_id * 7 + b.doc_id) % 11 = 0), "
+            "ids AS (SELECT id_a AS doc_id FROM p UNION SELECT id_b FROM p) "
+            "SELECT d.doc_id, d.source, d.n_chars FROM documents d "
+            "JOIN ids USING (doc_id)"
         ),
     }

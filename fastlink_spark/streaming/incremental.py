@@ -62,7 +62,9 @@ from scratch, so stale merges dissolve there. The relabel map grows
 with the merge count; ``compact()`` (first-class
 since r4) re-links the persisted state through the batch operators and
 empties it — schedule per N batches / map-size threshold, same
-tradeoff as any streaming CC. On Iceberg the relabel would be a MERGE
+tradeoff as any streaming CC; since r6 the linker can schedule it
+ITSELF via the ``auto_compact_segments`` / ``auto_compact_relabels``
+ctor thresholds (compact-before-batch, see ``__init__``). On Iceberg the relabel would be a MERGE
 INTO over the affected partition subset instead of a read-time map.
 """
 
@@ -100,12 +102,49 @@ class IncrementalLinker:
         state_dir: str,
         em: EMResult,
         cfg: LinkageConfig | None = None,
+        *,
+        auto_compact_segments: int | None = None,
+        auto_compact_relabels: int | None = None,
     ):
+        """``auto_compact_segments`` / ``auto_compact_relabels`` (r6
+        verdict item 5): optional read-amplification bounds. When the
+        committed manifest lists >= that many record segments, or the
+        relabel map holds >= that many entries, the NEXT process_batch
+        call compacts FIRST (before linking its rows) — so a long-lived
+        stream bounds its own segment count and relabel-map size at
+        threshold+1 without external scheduling. Compact-before-batch
+        (not after) keeps the returned DataFrame valid: a post-batch
+        compact would GC the very segment the return value reads (the
+        VACUUM contract in compact()'s docstring). None (default) =
+        never auto-compact; call compact() manually."""
         self.spark = spark
         self.state_dir = state_dir
         self.em = em
         self.cfg = cfg or LinkageConfig()
+        for name, v in (
+            ("auto_compact_segments", auto_compact_segments),
+            ("auto_compact_relabels", auto_compact_relabels),
+        ):
+            if v is not None and v < 1:
+                raise ValueError(f"{name} must be >= 1, got {v}")
+        self.auto_compact_segments = auto_compact_segments
+        self.auto_compact_relabels = auto_compact_relabels
         os.makedirs(state_dir, exist_ok=True)
+
+    def should_compact(self, manifest: dict | None = None) -> bool:
+        """The auto-compaction policy, also callable standalone by an
+        external scheduler: True when the committed state's segment
+        count or relabel-map size crosses the configured threshold."""
+        manifest = manifest if manifest is not None else self._load_manifest()
+        if (
+            self.auto_compact_segments is not None
+            and len(manifest["records"]) >= self.auto_compact_segments
+        ):
+            return True
+        return (
+            self.auto_compact_relabels is not None
+            and len(manifest.get("relabels", {})) >= self.auto_compact_relabels
+        )
 
     # -- state: manifest-pointer layout -----------------------------------
     # MANIFEST.json is the ONE commit point: {"version": 2, "seq": N,
@@ -286,6 +325,13 @@ class IncrementalLinker:
         manifest = self._load_manifest()
         if batch_id is not None and batch_id <= manifest["last_batch_id"]:
             return None  # replayed batch, already fully applied
+        if self.should_compact(manifest):
+            # compact-before-batch: atomic in itself (own manifest
+            # rename), so a crash between the compact and this batch's
+            # commit replays cleanly — the replay sees compacted state,
+            # a now-false should_compact, and stages the same seq
+            self.compact()
+            manifest = self._load_manifest()
         seq = manifest["seq"] + 1
         # ONE scratch namespace for the whole batch, deleted right
         # after the manifest commit (ADVICE r4: per-cut resolve(None)
