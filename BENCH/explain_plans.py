@@ -198,7 +198,7 @@ def main() -> None:
     sections.append(
         (
             "high-k clusterMatch assignment (r5 pandas-argmin path)",
-            "expect: for k*27 > CODEGEN_MAX_TERMS the assignment is ONE "
+            "expect: for k*27*3 effective terms > CODEGEN_MAX_TERMS the assignment is ONE "
             "ArrowEvalPython node over the feature scan (centroids ride the "
             "closure — broadcast-by-serialization, no join, no Exchange); the "
             "NumPy kernel accumulates (x-c)^2 in the codegen path's exact IEEE "

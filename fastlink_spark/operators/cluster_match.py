@@ -15,12 +15,14 @@ and DuckDB recomputes the assignment from injected literals).
 
 Scale shape: each Lloyd iteration is one map-side-combining groupBy
 over k×28 longs — shuffle volume is O(k·partitions), independent of
-row count. Assignment is pure whole-stage codegen (k·27 double terms)
-up to ``CODEGEN_MAX_TERMS``; above that the literal-embedded
-expression's per-job COMPILE cost dominates (measured ~21 s fixed at
-k=8 already, growing O(k·27) in expression size — r4 verdict), so
-large k routes through a broadcast-centroid Arrow pandas-UDF NumPy
-argmin instead. The two paths are BIT-IDENTICAL by construction: the
+row count. Assignment is pure whole-stage codegen (k·27 double terms,
+~3x duplicated by the argmin/NaN-guard structure) up to
+``CODEGEN_MAX_TERMS`` EFFECTIVE terms — a limit calibrated r6 to sit
+under the measured janino compiler cliff (~1400 effective terms on
+this Spark 4.1.2 / JDK 17 box; see the constant's comment), past
+which Spark silently falls back to interpreted eval. Beyond the
+limit, assignment routes through a broadcast-centroid Arrow
+pandas-UDF NumPy argmin instead. The two paths are BIT-IDENTICAL by construction: the
 NumPy kernel accumulates (x_i−c_i)² left-associated in the same fixed
 dim order as the codegen ``reduce(add, terms)`` (0.0+t0 == t0 exactly
 for the non-negative squared terms), and both argmins take the FIRST
@@ -48,11 +50,22 @@ from ..plans.materialize import Materializer, resolve
 
 LETTERS = "abcdefghijklmnopqrstuvwxyz"
 N_DIMS = len(LETTERS) + 1  # 26 letter counts + total length
-# k*N_DIMS above this -> broadcast-centroid pandas-UDF path (the
-# codegen expression still EXECUTES fine far beyond this, but its
-# per-job janino compile grows with expression size and dominates the
-# fit wall at large k)
-CODEGEN_MAX_TERMS = 2_000
+# EFFECTIVE term count above this -> broadcast-centroid pandas-UDF
+# path. Effective terms = k * N_DIMS * dup, where dup is how many
+# times the k-distance array is repeated in the final expression:
+# x3 for assignment (array_position(arr, m) + m := array_min(arr)
+# appearing twice through the NaN guard), x2 for the seeding statistic
+# (array_min duplicated by its NaN guard). Calibrated r6 on this
+# Spark 4.1.2 / JDK 17 box: janino compiles the assignment through
+# k=16 (16*27*3 = 1296 eff. terms) and fails from k=18 (1458); the
+# seeding pool query compiles through 26 seeds (1404) and fails from
+# 28 (1512) — one ~1400-term compiler cliff, duplication factors
+# confirmed by the two cliffs landing at the same effective count.
+# Past the cliff Spark falls back to INTERPRETED eval (silent, logged
+# ERROR) — correct values, ~10x slower per row at scale, which is
+# exactly when the Arrow pandas argmin should take over instead.
+# 1100 leaves ~25% margin below the measured cliff.
+CODEGEN_MAX_TERMS = 1_100
 _NP_CHUNK = 2_048  # rows per (chunk, k) distance block (~k*16KB each)
 
 
@@ -172,7 +185,7 @@ def assign_clusters(
     (FIRST occurrence of the minimum on both paths). Codegen
     literal-embedded expression up to CODEGEN_MAX_TERMS; broadcast-
     centroid pandas UDF above (bit-identical, see _np_dists)."""
-    if len(centroids) * N_DIMS > CODEGEN_MAX_TERMS:
+    if len(centroids) * N_DIMS * 3 > CODEGEN_MAX_TERMS:
         return feats.withColumn("cluster", _pandas_assign(centroids)(F.col(vec_col)))
     arr = F.array(*[_dist(vec_col, c) for c in centroids])
     m = F.array_min(arr)
@@ -206,16 +219,34 @@ def fit_kmeans(
     that plain Python/DuckDB can recompute (the q30 oracle twin);
     ``'xxhash64'`` is the cheaper production default;
     ``'kmeanspp'`` is a deterministic k-means++-style seeding
-    (farthest-first traversal: seed 1 by hash, each next seed = the
-    point MAXIMIZING distance to its nearest chosen centroid, ties by
-    id — the derandomized D²-sampling analogue, 2-approx for k-center).
-    Each k-means++ round is one distributed top-1 job
-    (TakeOrderedAndProject over the codegen distance array — no full
-    sort, no driver data); stops early if fewer than k distinct
-    feature points exist. Weighted mode
-    (``weight_col``, integer weights) implements the reference's
-    balanced two-table fit. Empty clusters keep their previous
-    centroid. Converges early when an update is an exact fixpoint.
+    (farthest-first: seed 1 by hash; subsequent seeds maximize distance
+    to their nearest chosen centroid, ties by id).
+
+    kmeanspp is BATCHED since r6 (verdict item 6) and EXACT: strict
+    sequential farthest-first is one distributed top-1 job PER SEED —
+    O(k) full scans, measured unusable at k=256 (killed at seed ~60
+    after 9 min on 20k rows; each job's distance expression also grows
+    with the seed count, so cost is quadratic in k). The batched form
+    runs ~O(log k) distributed passes: per pass the per-row
+    min-distance to the COMMITTED seeds ranks a candidate pool (top
+    4·batch by (_d desc, id asc), batch doubling with the seed count),
+    and the pool — a few hundred rows — is refined DRIVER-side by
+    sequential farthest-first that accounts for picks made within the
+    batch (k-means‖-style oversample-then-refine). A committed-prefix
+    guard keeps the trajectory IDENTICAL to strict sequential
+    farthest-first: every excluded row's current min-distance is
+    bounded by the pool's smallest collected distance, so a
+    within-batch pick strictly above that cutoff provably beats every
+    excluded row; at/below the cutoff the batch ends and the next
+    distributed pass re-ranks (first pick per pass is always the true
+    global argmax, so worst case degrades to sequential, never below
+    it). Pool distances use ``_np_dists`` (left-associated IEEE op
+    order), bit-equal to the codegen expression, so the guard sees the
+    same numbers a re-rank would. Stops early if fewer than
+    k distinct feature points exist. Weighted mode (``weight_col``, integer
+    weights) implements the reference's balanced two-table fit. Empty
+    clusters keep their previous centroid. Converges early when an
+    update is an exact fixpoint. (Measured timings: SCALE.md §kmeanspp.)
     """
     id_str = F.col(id_col).cast("string")
     h = F.md5(id_str) if init == "md5" else F.xxhash64(id_str)
@@ -230,10 +261,14 @@ def fit_kmeans(
             raise ValueError("empty input for k-means blocking")
         cents = [[float(x) for x in first[0][vec_col]]]
         while len(cents) < k:
+            # batch doubles with the committed seed count -> O(log k)
+            # distributed passes; the pool oversamples 4x so the
+            # driver-side refinement has room when top ranks cluster
+            batch = min(k - len(cents), max(1, len(cents)))
             # the seeding statistic follows the same codegen/pandas
             # switch as assignment; bit-equal distances mean the seed
             # trajectory is independent of where the switch lands
-            if len(cents) * N_DIMS > CODEGEN_MAX_TERMS:
+            if len(cents) * N_DIMS * 2 > CODEGEN_MAX_TERMS:
                 d_col = _pandas_min_dist(cents)(F.col(vec_col))
             else:
                 mn = F.array_min(F.array(*[_dist(vec_col, c) for c in cents]))
@@ -241,15 +276,63 @@ def fit_kmeans(
                 # farthest-first orderBy (desc puts NaN above every
                 # real distance) — and so both paths stay bit-equal
                 d_col = F.when(~F.isnan(mn), mn)
-            nxt = (
+            # NOTE: no .where(_d > 0) here — a Filter between the
+            # Project and the Sort lets Catalyst substitute the full
+            # distance expression (which inlines the 27 regexp letter
+            # features per element_at) into the predicate AND the sort
+            # key; the collapsed plan's codegen OOMs janino even at
+            # tiny k. desc puts nulls/zeros last, so the top-N rows
+            # ARE the farthest points — filter driver-side instead.
+            raw = (
                 feats.select(F.col(vec_col), d_col.alias("_d"), F.col(id_col).alias("_i"))
                 .orderBy(F.desc("_d"), F.asc("_i"))
-                .limit(1)
+                .limit(batch * 4)
                 .collect()
-            )[0]
-            if nxt["_d"] <= 0.0:
-                break  # < k distinct points; every row already has a 0-distance centroid
-            cents.append([float(x) for x in nxt[vec_col]])
+            )
+            pool = [
+                r for r in raw if r["_d"] is not None and float(r["_d"]) > 0.0
+            ]  # 0-distance rows duplicate a committed seed; null = null vec
+            if not pool:
+                break  # < k distinct points remain
+            # Exactness guard: any row NOT collected has _d <= cutoff
+            # (the smallest collected _d — the pool is the top-N of the
+            # sort), and its min-distance only shrinks as seeds are
+            # committed. So a within-batch pick whose updated distance
+            # is STRICTLY above cutoff provably beats every excluded
+            # row — it is the true global next seed. At or below
+            # cutoff the true seed may sit outside the pool (or tie
+            # with a smaller id out there): end the batch and re-rank
+            # distributed. A short collect (len(raw) < limit) means
+            # nothing was excluded -> no constraint.
+            cutoff = float(raw[-1]["_d"] or 0.0) if len(raw) == batch * 4 else 0.0
+            # exact sequential farthest-first WITHIN the pool: md[i] =
+            # min distance of pool row i to (committed seeds ∪ batch
+            # picks so far); each pick maximizes md, ties by id asc.
+            # Distances via _np_dists (left-associated IEEE op order)
+            # so md values are bit-equal to what the next distributed
+            # pass would compute — the guard comparisons see the same
+            # numbers either way and the trajectory is IDENTICAL to
+            # strict sequential farthest-first.
+            P = np.asarray([[float(x) for x in r[vec_col]] for r in pool])
+            md = np.asarray([float(r["_d"]) for r in pool])
+            ids = [r["_i"] for r in pool]
+            taken = np.zeros(len(pool), dtype=bool)
+            for picks in range(batch):
+                best = -1
+                for i in range(len(pool)):
+                    if taken[i] or md[i] <= 0.0:
+                        continue
+                    if best < 0 or md[i] > md[best] or (
+                        md[i] == md[best] and ids[i] < ids[best]
+                    ):
+                        best = i
+                if best < 0:
+                    break  # pool exhausted (within-batch duplicates)
+                if picks > 0 and not (md[best] > cutoff):
+                    break  # true next seed may lie outside the pool
+                cents.append([float(x) for x in P[best]])
+                taken[best] = True
+                md = np.minimum(md, _np_dists(P, P[best : best + 1])[:, 0])
     else:
         seed_rows = (
             feats.select(F.col(vec_col), h.alias("_h"), F.col(id_col).alias("_i"))
