@@ -838,6 +838,49 @@ def q34_string_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return string_subset(d, pairs, "doc_id").select("doc_id", "source", "n_chars")
 
 
+def q35_pooled_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregateEM pooling (SURVEY.md G15 — ``R/aggregateEM.R``; the
+    last pytest-only operator after r6's q33/q34): two "sites" each
+    compute their own gamma pattern table over their own pair subspace
+    through the PRODUCTION path (candidate_pairs -> with_gammas ->
+    pattern_counts), and ``pool_pattern_counts`` sums them into one
+    sufficient statistic. Pairs are within-source, so splitting the
+    sources across sites partitions the PAIR space — the pooled table
+    must equal the whole-space table, which the oracle recomputes
+    independently in DuckDB (the q03 SQL). Counts are exact integers,
+    so the hash signal is bit-hard."""
+    import pandas as _pd
+
+    from fastlink_spark.operators.gammas import FieldSpec, pattern_counts, with_gammas
+    from fastlink_spark.operators.pairs import candidate_pairs
+    from fastlink_spark.operators.reweight import pool_pattern_counts
+
+    fields = [FieldSpec("lang", "exact"), FieldSpec("n_chars", "numeric", 10.0, 50.0)]
+    gcols = ["gamma_lang", "gamma_n_chars"]
+    docs = _docs(spark, sf_dir)
+    sources = sorted(r["source"] for r in docs.select("source").distinct().collect())
+    tables = []
+    for half in (sources[::2], sources[1::2]):
+        if not half:
+            continue
+        blocked = docs.where(F.col("source").isin(half)).select(
+            F.concat(F.lit("s:"), F.col("source")).alias("block_key"),
+            F.col("doc_id").alias("rec_id"),
+            "lang",
+            "n_chars",
+        )
+        pairs = candidate_pairs(blocked, skew_threshold=100_000, target_block=100_000)
+        tables.append(pattern_counts(with_gammas(pairs, fields), fields).toPandas())
+    pooled = pool_pattern_counts(tables, gcols)
+    # toPandas turns nullable int gammas into float NaN; rebuild exact
+    # ints with SQL NULLs for the tiny (<= 3^K-row) driver-side result
+    rows = [
+        tuple(None if _pd.isna(v) else int(v) for v in t)
+        for t in pooled[gcols + ["cnt"]].itertuples(index=False)
+    ]
+    return spark.createDataFrame(rows, "gamma_lang int, gamma_n_chars int, cnt long")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_block_profile": q01_block_profile,
@@ -874,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_soundex": q32_soundex,
         "q33_dedupe_one_to_one": q33_dedupe_one_to_one,
         "q34_string_subset": q34_string_subset,
+        "q35_pooled_patterns": q35_pooled_patterns,
     }
 
 
@@ -1511,4 +1555,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, d.source, d.n_chars FROM documents d "
             "JOIN ids USING (doc_id)"
         ),
+        # pooling per-site tables over a partition of the pair space
+        # must reproduce the whole-space sufficient statistic — the
+        # oracle is the SAME independent global recompute as q03
+        "q35_pooled_patterns": _Q03_PATTERN_SQL.format(docs="documents"),
     }

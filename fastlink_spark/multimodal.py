@@ -4,14 +4,15 @@ columns with typed metadata, processed via Arrow-batched mapInPandas.
 The Spark-side contract (schemas, batch iteration, partition sizing) is
 REAL and tested. Decode is real for every format expressible without
 external codec libraries — P6 PPM and 24-bit BMP images (pure NumPy
-byte parsing), PCM WAV audio (stdlib ``wave``), and 8-bit PNG (stdlib
-``zlib`` inflate + per-row unfilter, all five PNG filter types — DEFLATE
-is in the standard library, so "compressed" alone doesn't force a stub);
-the formats whose decode genuinely needs DSP/entropy-codec libraries
-(jpeg/mp3/mp4) raise NotImplementedError because none ship in this
-container. ``deterministic_fake=True`` remains as a format-agnostic
-stand-in so tests can drive the full distributed path with arbitrary
-payloads.
+byte parsing), PCM WAV audio (stdlib ``wave``), 8-bit PNG (stdlib
+``zlib`` inflate + per-row unfilter, all five PNG filter types), and
+since r6 baseline sequential JPEG (jpeg.py: from-scratch Huffman
+entropy decode + batched NumPy IDCT — SOF0, gray/YCbCr, 4:4:4/4:2:2/
+4:2:0, restart markers); only the formats whose decode genuinely needs
+DSP/psychoacoustic codec libraries (mp3/mp4) raise NotImplementedError
+because none ship in this container. ``deterministic_fake=True``
+remains as a format-agnostic stand-in so tests can drive the full
+distributed path with arbitrary payloads.
 
 At 100TB: binary payloads dominate partition size — repartition by
 ``maxRecordsPerBatch``-friendly counts and keep
@@ -82,7 +83,14 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     # whitespace-valued (9/10/13/32), so a general skip-while-surplus
     # loop can eat a real pixel byte (r6 ADVICE). Anything else that
     # leaves the payload length off by even one byte fails loudly.
-    if payload[pos - 1 : pos] == b"\r" and payload[pos : pos + 1] == b"\n":
+    # only when the payload actually has a surplus byte: a lone '\r'
+    # separator followed by a first pixel byte of 0x0A is a CONFORMING
+    # exact-length file the pattern alone cannot distinguish (r6 review)
+    if (
+        len(payload) - pos > n
+        and payload[pos - 1 : pos] == b"\r"
+        and payload[pos : pos + 1] == b"\n"
+    ):
         pos += 1
     if len(payload) - pos < n:
         raise ValueError("truncated PPM pixel data")
@@ -106,7 +114,7 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         # ValueError (not NotImplementedError): a BMP variant this
         # decoder can't parse is per-ROW bad data — extract_features maps
         # it to an ok=False row instead of failing the whole task. Only
-        # whole-FORMAT gaps (jpeg/png/... in _DECODERS) raise.
+        # whole-FORMAT gaps (mp3/mp4, absent from _DECODERS) raise.
         raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={comp})")
     top_down = h < 0
     h = abs(h)
@@ -131,8 +139,9 @@ def decode_png(payload: bytes) -> np.ndarray:
     arithmetic mod 256 per the spec), alpha dropped, palette expanded.
 
     Closes the "compressed image decode is container-bound" carve-out
-    for PNG — DEFLATE ships in the standard library, so only the
-    DCT/entropy formats (jpeg/mp3/mp4) remain honestly stubbed.
+    for PNG — DEFLATE ships in the standard library. (r6 closed the
+    DCT carve-out too: baseline JPEG decodes for real in jpeg.py; only
+    the psychoacoustic formats mp3/mp4 remain honestly stubbed.)
 
     Scale note: the up filter is vectorized and sub rides a per-channel
     cumsum; average/paeth are a plain-int Python loop per byte — the
@@ -292,7 +301,7 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         # decoder doesn't cover (e.g. 24-bit PCM) is per-row bad data —
         # extract_features maps it to an ok=False row instead of
         # failing the task. NotImplementedError is reserved for whole
-        # FORMATS that are stubbed (jpeg/png/mp3), same policy as BMP.
+        # FORMATS that are stubbed (mp3/mp4), same policy as BMP.
         raise ValueError(f"unsupported PCM sample width {width}")
     if nch > 1:
         x = x.reshape(-1, nch).mean(axis=1)
@@ -343,10 +352,17 @@ def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
     return hist / n if n > 0 else hist
 
 
+def _decode_jpeg_lazy(p: bytes):
+    from .jpeg import decode_jpeg  # local import keeps module load light
+
+    return decode_jpeg(p)
+
+
 _DECODERS = {
     "image/ppm": lambda p, dim: image_feature(decode_ppm(p), dim),
     "image/bmp": lambda p, dim: image_feature(decode_bmp(p), dim),
     "image/png": lambda p, dim: image_feature(decode_png(p), dim),
+    "image/jpeg": lambda p, dim: image_feature(_decode_jpeg_lazy(p), dim),
     "audio/wav": lambda p, dim: audio_feature(decode_wav(p)[0], dim),
 }
 
@@ -359,10 +375,10 @@ def extract_features(
 ) -> DataFrame:
     """mapInPandas feature extraction over (doc_id, media_type, n_bytes,
     payload). Real decode for image/ppm, image/bmp, image/png,
-    audio/wav; the DCT/entropy formats (jpeg/mp3/mp4) raise
-    NotImplementedError (no codec libs in this container). Rows whose
-    payload fails to parse come back ok=False (feature null) instead of
-    failing the task."""
+    image/jpeg (baseline sequential, jpeg.py), audio/wav; the
+    psychoacoustic formats (mp3/mp4) raise NotImplementedError (no
+    codec libs in this container). Rows whose payload fails to parse
+    come back ok=False (feature null) instead of failing the task."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

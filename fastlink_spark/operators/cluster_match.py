@@ -88,7 +88,13 @@ def _dist(vec_col: str, cent: list[float]):
     bit-equal results)."""
     terms = []
     for i, c in enumerate(cent):
-        d = F.element_at(F.col(vec_col), i + 1).cast("double") - F.lit(float(c))
+        # try_element_at: ANSI element_at THROWS on short arrays, and
+        # codegen subexpression elimination can hoist the access above
+        # the usable-vector size guard in a combined filter (r6 review:
+        # a 25-element vector crashed the Lloyd stage through exactly
+        # that hoist). NULL out-of-range -> null distance -> null
+        # cluster, which every consumer already handles.
+        d = F.try_element_at(F.col(vec_col), F.lit(i + 1)).cast("double") - F.lit(float(c))
         terms.append(d * d)
     return reduce(operator.add, terms)
 
@@ -250,6 +256,18 @@ def fit_kmeans(
     """
     id_str = F.col(id_col).cast("string")
     h = F.md5(id_str) if init == "md5" else F.xxhash64(id_str)
+    # seeds must come from USABLE vectors: a null vector would crash
+    # the float() unpack and a null/NaN ELEMENT would poison every
+    # distance to its centroid (all-NaN -> the whole table degenerates
+    # to NULL clusters). Such rows still flow through assignment —
+    # they land in cluster NULL, which the Lloyd aggregation skips
+    # (r6 review). letter_features can't produce them (coalesce ''),
+    # so for the normal path this filter is a plan-only no-op.
+    feats = feats.where(
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) == N_DIMS)
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull() | F.isnan(x))
+    )
     if init == "kmeanspp":
         first = (
             feats.select(F.col(vec_col), F.xxhash64(id_str).alias("_h"), F.col(id_col).alias("_i"))
@@ -346,11 +364,17 @@ def fit_kmeans(
 
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     sum_cols = [
-        F.sum(F.element_at(F.col(vec_col), i + 1) * w).alias(f"s{i}") for i in range(N_DIMS)
+        F.sum(F.try_element_at(F.col(vec_col), F.lit(i + 1)) * w).alias(f"s{i}")
+        for i in range(N_DIMS)
     ]
     for _ in range(n_iter):
         agg = (
             assign_clusters(feats, cents, vec_col)
+            # defense-in-depth: the usable-vector filter above should
+            # make a null cluster unreachable inside fit, but if one
+            # ever forms (future assignment-path change) the None
+            # group would crash new_cents[None] below (r6 review)
+            .where(F.col("cluster").isNotNull())
             .groupBy("cluster")
             .agg(*sum_cols, F.sum(w).alias("n"))
             .collect()

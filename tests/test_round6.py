@@ -327,7 +327,9 @@ def test_bench_main_emits_first_clean_attempt(monkeypatch, capsys):
             _fake_bench_out(False, 0.1, 0.2, 900.0),
         ]
     )
-    monkeypatch.setattr(bench, "run_once", lambda: next(outs))
+    # multi-attempt runs go through _attempt (fresh subprocess per
+    # attempt — r6 review: an in-process retry reads a warm JVM)
+    monkeypatch.setattr(bench, "_attempt", lambda: next(outs))
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     monkeypatch.setenv("BENCH_MAX_ATTEMPTS", "3")
     bench.main()
@@ -351,7 +353,7 @@ def test_bench_main_all_contended_marks_and_picks_least(monkeypatch, capsys):
             _fake_bench_out(True, 9.0, 9.0, 200.0),
         ]
     )
-    monkeypatch.setattr(bench, "run_once", lambda: next(outs))
+    monkeypatch.setattr(bench, "_attempt", lambda: next(outs))
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     monkeypatch.setenv("BENCH_MAX_ATTEMPTS", "3")
     bench.main()
@@ -380,3 +382,33 @@ def test_bench_single_attempt_env(monkeypatch, capsys):
 
 
 _ = np  # imported for later round-6 sections
+
+
+# --------------------------- r6 self-review: Lloyd update vs null clusters
+
+
+def test_fit_kmeans_survives_null_cluster_rows(spark):
+    """fit_kmeans over a table containing unusable vectors (NaN
+    element, wholly-null, wrong length) must neither crash nor skew:
+    the usable-vector filter keeps them out of seeding AND Lloyd, so
+    the fit equals the clean-rows-only fit exactly (r6 review: before
+    the filter, a null vector crashed the seed unpack and the NaN/null
+    cluster group crashed new_cents[None] in the Lloyd update)."""
+    import fastlink_spark.operators.cluster_match as cm
+
+    dims = cm.N_DIMS
+    clean = [
+        (1, [float(i % 5) for i in range(dims)]),
+        (2, [float((i + 3) % 7) for i in range(dims)]),
+    ]
+    bad = [
+        (3, [float("nan")] + [1.0] * (dims - 1)),  # NaN element
+        (4, None),                                  # wholly-null vector
+        (5, [1.0] * (dims - 2)),                    # wrong length
+    ]
+    ddl = "rec_id long, lf_vec array<double>"
+    mixed = spark.createDataFrame(clean + bad, ddl)
+    only_clean = spark.createDataFrame(clean, ddl)
+    got = cm.fit_kmeans(mixed, 2, n_iter=3)
+    want = cm.fit_kmeans(only_clean, 2, n_iter=3)
+    assert got == want
