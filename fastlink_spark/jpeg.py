@@ -142,6 +142,8 @@ def _entropy_segments(buf: bytes, start: int) -> tuple[list[bytes], int]:
         if nb == 0x00:
             cur.append(0xFF)
             i += 2
+        elif nb == 0xFF:
+            i += 1  # fill byte before a marker (T.81 B.1.1.2) — r6 review
         elif nb is not None and 0xD0 <= nb <= 0xD7:
             segs.append(bytes(cur))
             cur = bytearray()
@@ -168,6 +170,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while i + 4 <= n:
         if payload[i] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip them (r6 review: a fill byte was read as a
+        # marker and the next real marker's bytes as a segment length)
+        while i + 4 <= n and payload[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > n:
+            break
         m = payload[i + 1]
         if m == 0xD9:  # EOI before any scan
             raise ValueError("JPEG ended before SOS")

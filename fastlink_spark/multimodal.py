@@ -81,8 +81,9 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     # that case — surplus length alone cannot distinguish extra LEADING
     # header whitespace from trailing junk when the first pixel byte is
     # whitespace-valued (9/10/13/32), so a general skip-while-surplus
-    # loop can eat a real pixel byte (r6 ADVICE). Anything else that
-    # leaves the payload length off by even one byte fails loudly.
+    # loop can eat a real pixel byte (r6 ADVICE). Non-whitespace
+    # surplus fails loudly; whitespace-only TRAILING surplus is
+    # tolerated below (it cannot shift the fixed [pos, pos+n) read).
     # only when the payload actually has a surplus byte: a lone '\r'
     # separator followed by a first pixel byte of 0x0A is a CONFORMING
     # exact-length file the pattern alone cannot distinguish (r6 review)
@@ -94,7 +95,11 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         pos += 1
     if len(payload) - pos < n:
         raise ValueError("truncated PPM pixel data")
-    if len(payload) - pos > n:
+    if len(payload) - pos > n and not payload[pos + n :].isspace():
+        # trailing WHITESPACE surplus is tolerated (text-mode tooling
+        # commonly appends a final newline, and pixels are always read
+        # as payload[pos:pos+n], so it cannot shift data — r6 review);
+        # any non-whitespace surplus still fails loudly
         raise ValueError("surplus bytes around PPM pixel data")
     img = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
     return img.reshape(h, w, 3)

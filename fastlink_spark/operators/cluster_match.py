@@ -144,11 +144,23 @@ def _pandas_assign(centroids: list[list[float]]):
 
 
 def _vec_matrix(v_masked: pd.Series) -> "np.ndarray":
-    """Non-null vector rows -> (n, dims) float64 with null ELEMENTS as
-    nan (Arrow already delivers list<double> nulls as nan; a caller
+    """Non-null vector rows -> (n, N_DIMS) float64 with null ELEMENTS
+    as nan (Arrow already delivers list<double> nulls as nan; a caller
     handing plain Python lists with None goes through the same
-    object->float conversion instead of raising TypeError)."""
-    rows = v_masked.tolist()
+    object->float conversion instead of raising TypeError).
+
+    Wrong-LENGTH rows mirror the codegen path's try_element_at
+    semantics exactly (r6 review: they used to IndexError the whole
+    task, or NaN-pad neighbors batch-dependently through the ragged
+    fallback): longer rows are truncated to the first N_DIMS dims
+    (try_element_at reads dims 1..27 and ignores the rest), shorter
+    rows are nan-padded (try_element_at yields NULL for the missing
+    dims -> null distance -> null cluster, which the callers' isnan
+    masks already map to NULL)."""
+    rows = [
+        r[:N_DIMS] if len(r) >= N_DIMS else list(r) + [float("nan")] * (N_DIMS - len(r))
+        for r in v_masked.tolist()
+    ]
     try:
         return np.asarray(rows, dtype=np.float64)
     except (TypeError, ValueError):

@@ -115,8 +115,13 @@ class IncrementalLinker:
         threshold+1 without external scheduling. Compact-before-batch
         (not after) keeps the returned DataFrame valid: a post-batch
         compact would GC the very segment the return value reads (the
-        VACUUM contract in compact()'s docstring). None (default) =
-        never auto-compact; call compact() manually."""
+        VACUUM contract in compact()'s docstring). Corollary (r6
+        review): enabling these thresholds extends that contract to
+        every process_batch call — a LATER batch may auto-compact and
+        GC the segments backing frames returned by EARLIER calls, so
+        collect or persist a returned frame before the next batch if
+        you need it to outlive one. None (default) = never
+        auto-compact; call compact() manually."""
         self.spark = spark
         self.state_dir = state_dir
         self.em = em

@@ -538,3 +538,24 @@ def test_jpeg_mutation_fuzz_never_escapes_valueerror():
             assert out.dtype == np.uint8 and out.ndim == 3
         except allowed:
             pass
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+    fill bytes — both in the header stream and before RST markers in
+    the entropy stream (r6 review: a fill byte used to be read as a
+    marker / end the scan early)."""
+    img = _gradient_gray(16, 32)
+    q1 = np.ones((8, 8), dtype=np.int32)
+    plain = encode_gray(img, q1, restart_interval=2)
+    want = decode_jpeg(plain)
+    # fill bytes before every RST marker in the entropy stream
+    padded = plain.replace(b"\xff\xd0", b"\xff\xff\xff\xd0").replace(
+        b"\xff\xd1", b"\xff\xff\xd1"
+    )
+    assert padded != plain
+    assert (decode_jpeg(padded) == want).all()
+    # fill bytes before a header marker (the SOF0)
+    sof = plain.index(b"\xff\xc0")
+    padded2 = plain[:sof] + b"\xff\xff" + plain[sof:]
+    assert (decode_jpeg(padded2) == want).all()

@@ -27,19 +27,27 @@ def test_decode_ppm_crlf_still_tolerated():
     assert (ok == crlf).all()
 
 
-def test_decode_ppm_trailing_surplus_raises():
-    """r6 ADVICE: a trailing byte after the raster used to be absorbed
-    by the skip-leading-whitespace loop when the FIRST pixel byte was
-    whitespace-valued (32 here) — silently shifting every channel. Now
-    any length surplus outside the known CRLF case fails loudly."""
+def test_decode_ppm_trailing_surplus_policy():
+    """r6 ADVICE + review: the old skip-leading-whitespace loop could
+    absorb a whitespace-valued FIRST pixel byte (32 here), silently
+    shifting every channel. Now pixels are always read from the fixed
+    [pos, pos+n) window: whitespace-only trailing surplus (text-mode
+    tooling's final newline) decodes byte-identical, non-whitespace
+    surplus fails loudly, and a conforming lone-'\\r' separator whose
+    first pixel byte is 0x0A is NOT mistaken for a CRLF skip."""
     from fastlink_spark.multimodal import decode_ppm
 
     good = _ppm(b"P6 2 2 255\n", 2, 2, first_byte=32)
     assert decode_ppm(good)[0, 0, 0] == 32
+    assert (decode_ppm(good + b"\n") == decode_ppm(good)).all()
     with pytest.raises(ValueError, match="surplus"):
-        decode_ppm(good + b"\n")  # trailing newline from a sloppy writer
+        decode_ppm(good + b"x")
     with pytest.raises(ValueError, match="truncated"):
         decode_ppm(good[:-1])
+    # lone-'\r' separator, first pixel byte 0x0A, exact length: a
+    # spec-valid file (any single whitespace separates header/pixels)
+    cr = _ppm(b"P6 2 2 255\r", 2, 2, first_byte=0x0A)
+    assert decode_ppm(cr)[0, 0, 0] == 0x0A
 
 
 # --------------------------- ADVICE 2: em_log grid-size overflow
@@ -412,3 +420,34 @@ def test_fit_kmeans_survives_null_cluster_rows(spark):
     got = cm.fit_kmeans(mixed, 2, n_iter=3)
     want = cm.fit_kmeans(only_clean, 2, n_iter=3)
     assert got == want
+
+
+def test_assign_clusters_wrong_length_vectors_both_paths(spark, monkeypatch):
+    """r6 review: wrong-length vectors must behave IDENTICALLY on both
+    assignment paths, mirroring try_element_at semantics — longer rows
+    assign by their first N_DIMS dims, shorter rows get a NULL cluster.
+    The pandas path used to IndexError the task (uniform short batch)
+    or null out valid neighbors (ragged batch NaN-padding)."""
+    import fastlink_spark.operators.cluster_match as cm
+
+    dims = cm.N_DIMS
+    rows = [
+        (1, [float(i % 5) for i in range(dims)]),          # clean
+        (2, [float(i % 5) for i in range(dims)] + [9.0]),  # too long
+        (3, [1.0] * (dims - 2)),                            # too short
+    ]
+    df = spark.createDataFrame(rows, "rec_id long, lf_vec array<double>")
+    cents = [[0.0] * dims, [3.0] * dims]
+
+    def collect(cap):
+        monkeypatch.setattr(cm, "CODEGEN_MAX_TERMS", cap)
+        return {
+            r["rec_id"]: r["cluster"]
+            for r in cm.assign_clusters(df, cents).collect()
+        }
+
+    cg = collect(10**9)
+    nd = collect(1)
+    assert cg == nd
+    assert cg[2] == cg[1]  # extra dims ignored, same cluster as clean
+    assert cg[3] is None
