@@ -881,6 +881,53 @@ def q35_pooled_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "gamma_lang int, gamma_n_chars int, cnt long")
 
 
+def q36_lsap_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard oracle for the exact-LSAP 1:1 assignment (SURVEY.md J8/G11
+    — ``R/dedupeMatches.R`` linprog=TRUE branch; r6 verdict item 3, the
+    last pytest-only §2 surface). Deterministic bipartite pair table:
+    within each (source, round-block) cell — round r = doc_id div 20,
+    block g = r div 8 — even rounds form the a-side, odd rounds the
+    b-side, all cross pairs taken. Scores are DISTINCT POWERS OF TWO
+    per block (1/2^rn, rn = the pair's (id_a, id_b) rank; blocks are
+    <=16 pairs, rn <= 48 enforced, so every sum of distinct weights is
+    IEEE-exact within the 52-bit mantissa window): every subset of a
+    block's pairs has a different total, making the max-weight matching
+    UNIQUE — the hash signal is solver-independent. Spark runs the
+    PRODUCTION ``dedupe_matches(method='lsap')`` (CC -> per-component
+    applyInPandas exact Hungarian, dedupe_matches.py:34-103); the
+    oracle solves each block with an INDEPENDENT exact bitmask-DP
+    max-weight matching driver-side, frozen into accepted-(id_a,id_b)
+    literals (the q31/q32 pattern — SQL cannot solve LSAP), while the
+    SQL recomputes the pair table and scores from data and semi-joins
+    the literals, so row counts and score values still carry the data
+    signal."""
+    from pyspark.sql import Window
+
+    from fastlink_spark.operators.dedupe_matches import dedupe_matches
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    r = F.expr("doc_id div 20")
+    g = F.expr("(doc_id div 20) div 8")
+    a = d.where(r % 2 == 0).select("source", g.alias("g"), F.col("doc_id").alias("id_a"))
+    b = d.where(r % 2 == 1).select("source", g.alias("g"), F.col("doc_id").alias("id_b"))
+    w = Window.partitionBy("source", "g").orderBy("id_a", "id_b")
+    pairs = (
+        a.join(b, ["source", "g"])
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 48)
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "CAST(1.0 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), rn) AS DOUBLE)"
+            ).alias("score"),
+        )
+    )
+    return dedupe_matches(pairs, id_a="id_a", id_b="id_b", score="score", method="lsap").select(
+        "id_a", "id_b", "score"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_block_profile": q01_block_profile,
@@ -918,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_dedupe_one_to_one": q33_dedupe_one_to_one,
         "q34_string_subset": q34_string_subset,
         "q35_pooled_patterns": q35_pooled_patterns,
+        "q36_lsap_assignment": q36_lsap_assignment,
     }
 
 
@@ -1260,6 +1308,73 @@ def _fitted_oracles() -> dict[str, str]:
             "SELECT doc_id, sdx, CAST(CASE WHEN nx IS NULL THEN NULL "
             " WHEN sdx = nx THEN 2 ELSE 0 END AS INTEGER) AS gamma_next FROM w"
         )
+    # q36: exact-LSAP twin — blocks solved driver-side with an
+    # INDEPENDENT bitmask-DP max-weight matching (the production path
+    # is a shortest-augmenting-path Hungarian; different algorithm,
+    # same unique optimum by the distinct-powers-of-two construction,
+    # see q36_lsap_assignment). Only the accepted (id_a, id_b) set is
+    # frozen; the SQL recomputes pairs + scores from data.
+    drows = con.execute(
+        f"SELECT doc_id, source FROM read_parquet('{sf}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    from collections import defaultdict as _dd
+
+    blocks: dict = _dd(lambda: ([], []))
+    for did, src in drows:
+        rnd = did // 20
+        blocks[(src, rnd // 8)][rnd % 2].append(did)
+    accepted: list[tuple[int, int]] = []
+    for key in sorted(blocks):
+        a_side, b_side = (sorted(x) for x in blocks[key])
+        prs = sorted((ia, ib) for ia in a_side for ib in b_side)[:48]
+        if not prs:
+            continue
+        if len(b_side) > 20:  # mask DP bound; impossible under the
+            # round-block construction (<=4 odd rounds/block) — fail
+            # loudly rather than hang if the data shape ever changes
+            raise ValueError(f"q36 twin: block {key} too wide ({len(b_side)} b-nodes)")
+        wgt = {pr: 1.0 / (1 << (i + 1)) for i, pr in enumerate(prs)}
+        adj: dict = _dd(list)
+        for ia, ib in prs:
+            adj[ia].append(ib)
+        a_nodes = sorted(adj)
+        b_idx = {v: j for j, v in enumerate(b_side)}
+        memo: dict = {}
+
+        def _best(i: int, mask: int) -> tuple[float, tuple]:
+            if i == len(a_nodes):
+                return (0.0, ())
+            k = (i, mask)
+            if k in memo:
+                return memo[k]
+            res = _best(i + 1, mask)  # leave a_nodes[i] unmatched
+            for ib in adj[a_nodes[i]]:
+                j = b_idx[ib]
+                if not mask & (1 << j):
+                    sw, sp = _best(i + 1, mask | (1 << j))
+                    tot = wgt[(a_nodes[i], ib)] + sw
+                    if tot > res[0]:
+                        res = (tot, ((a_nodes[i], ib),) + sp)
+            memo[k] = res
+            return res
+
+        accepted.extend(_best(0, 0)[1])
+    if accepted:
+        avals = ", ".join(f"({ia}, {ib})" for ia, ib in sorted(accepted))
+        out["q36_lsap_assignment"] = (
+            "WITH p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            " row_number() OVER (PARTITION BY a.source, (a.doc_id // 20) // 8 "
+            "   ORDER BY a.doc_id, b.doc_id) AS rn "
+            " FROM documents a JOIN documents b "
+            "   ON a.source = b.source "
+            "  AND (a.doc_id // 20) // 8 = (b.doc_id // 20) // 8 "
+            "  AND (a.doc_id // 20) % 2 = 0 AND (b.doc_id // 20) % 2 = 1), "
+            "pw AS (SELECT id_a, id_b, "
+            "  CAST(1.0 AS DOUBLE) / CAST((1::BIGINT << rn) AS DOUBLE) AS score "
+            "  FROM p WHERE rn <= 48), "
+            f"acc(id_a, id_b) AS (VALUES {avals}) "
+            "SELECT pw.id_a, pw.id_b, pw.score FROM pw JOIN acc USING (id_a, id_b)"
+        )
     _FITTED_CACHE[sf] = dict(out)
     return out
 
@@ -1273,7 +1388,7 @@ def _q17_entry() -> dict[str, str]:
         import sys
 
         print(
-            f"WARNING: fitted oracles unavailable, q17/q27/q28/q29/q30/q31/q32 "
+            f"WARNING: fitted oracles unavailable, q17/q27-q32/q36 "
             f"degrade to rows-only checks: {e!r}",
             file=sys.stderr,
         )

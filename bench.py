@@ -7,6 +7,10 @@ Env knobs:
   SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
   BENCH_PAGES_NBASE    pages-fixture base size for the linkage workload
                        (default 4000 -> ~12k pages)
+  BENCH_MAX_ATTEMPTS   attempt cap (default 5; BENCH/run.py pins 1)
+  BENCH_TARGET_CLEAN   clean attempts to median over (default 3)
+  BENCH_TIME_BUDGET_SEC wall budget for the attempt loop (default 1200)
+  BENCH_CALIB_PAIRS    fixed-work calibration size (default 3M; 0 off)
 
 The headline metric is the gamma-scoring throughput (vectorized JW +
 exact ladders over blocked candidate pairs) — BASELINE.json:2. Per-query
@@ -53,6 +57,30 @@ def _track(d: str) -> str:
 # headroom), making the linear floor conservative there. Turbo/freq
 # noise on this VM spans ~±20%, hence the loose 0.65 factor.
 _ALU_REF_MFLOPS_PER_WORKER = 37_000.0 / 32
+# --- Spark-shaped calibration reference (VERDICT r6 "Next round #1") ----
+# The r6 cross-day control proved clean sentinels do NOT make absolute
+# pairs/s comparable: bit-identical code drifted 2.0x between clean
+# windows, concentrated in the 32-thread pandas-UDF gamma stage (the
+# ALU probe is pure-numpy fork workers and misses that regime). So
+# every bench run now executes a FIXED-WORK calibration stage with the
+# exact same shape as the headline stage — pinned-derivation synthetic
+# pair table (md5-of-row-id strings, zero RNG), parquet scan -> JW
+# pandas-UDF gammas -> groupBy pattern counts, same Arrow batch size,
+# same partition fan-out — and the artifact carries
+#   value_calibrated = value * (calib_ref / calib_measured)
+# next to the raw value. Cross-round comparisons read the CALIBRATED
+# number; the raw number remains the measurement of record for gates
+# computed within one run (the sweep's N->4N ratio needs no
+# calibration — both widths share the window). References pinned from
+# low-steal micro-windows on 2026-08-18 (see BENCH/BASELINE.md
+# "Calibration reference" + notes_r7 for the pinning protocol and its
+# caveat); keyed by worker count because the 2-threads/core regime
+# only exists at 32.
+_CALIB_REF_PAIRS_PER_SEC = {32: 900_000.0}
+_CALIB_PAIRS_DEFAULT = 3_000_000
+_CALIB_KEYSPACE = 300_000  # 5x duplication at the default size keeps
+# the JW kernel's unique-pair factorization window exercised (the
+# production pair table repeats each record across many pairs)
 # fixture_gen reference is pinned at the DRIVER config (nbase=4000)
 # only — other fixture sizes emit drift=None rather than a number
 # computed against the wrong baseline
@@ -178,6 +206,78 @@ def _sentinel_close(
     }
 
 
+def _calibration_stage(spark, cpus: int) -> "dict | None":
+    """Fixed-work Spark-shaped calibration (see _CALIB_REF_PAIRS_PER_SEC).
+
+    Work is a pure function of the row id — every run on every box
+    computes byte-identical inputs — so its throughput measures the
+    BOX-in-this-window, not the data. Shape parity with the headline
+    gamma stage is deliberate and total: parquet scan (cpus*4 files),
+    the same DEFAULT_FIELDS spec (two JW pandas-UDF ladders + one
+    exact JVM ladder), the same 50k Arrow batches (caller holds the
+    conf), the same pattern_counts groupBy shuffle, the same
+    warm-then-best-of-2 timing protocol. ~1/3 of pairs agree on url,
+    ~1/3 near-agree on title (shared 24-char prefix -> the partial
+    band), ~1/2 agree on text_hash — the gamma ladder takes every
+    branch. BENCH_CALIB_PAIRS=0 disables; a non-default size emits the
+    measurement but no factor (wrong baseline otherwise, same rule as
+    fixture_gen_drift)."""
+    n = int(os.environ.get("BENCH_CALIB_PAIRS", str(_CALIB_PAIRS_DEFAULT)))
+    if n <= 0:
+        return None
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from fastlink_spark.operators import gammas
+    from fastlink_spark.plans.pipeline import DEFAULT_FIELDS
+
+    fields = list(DEFAULT_FIELDS)
+    pid = F.col("id") % _CALIB_KEYSPACE
+    h1 = F.md5(pid.cast("string"))
+    h2 = F.md5(F.concat(pid.cast("string"), F.lit(":b")))
+    h3 = F.md5(F.concat(pid.cast("string"), F.lit(":t")))
+    a_url = F.concat(
+        F.lit("https://site-"), F.substring(h1, 1, 8), F.lit(".example/"), F.substring(h1, 9, 16)
+    )
+    b_url_diff = F.concat(
+        F.lit("https://site-"), F.substring(h2, 1, 8), F.lit(".example/"), F.substring(h2, 9, 16)
+    )
+    a_title = F.concat(F.substring(h1, 1, 24), F.lit(" "), F.substring(h3, 1, 16))
+    b_title_near = F.concat(F.substring(h1, 1, 24), F.lit(" "), F.substring(h2, 1, 16))
+    b_title_diff = F.concat(F.substring(h2, 1, 24), F.lit(" "), F.substring(h3, 1, 16))
+    df = spark.range(0, n, 1, cpus * 4).select(
+        a_url.alias("a_url_norm"),
+        F.when(pid % 3 == 0, a_url).otherwise(b_url_diff).alias("b_url_norm"),
+        a_title.alias("a_title"),
+        F.when(pid % 3 == 0, b_title_near).otherwise(b_title_diff).alias("b_title"),
+        F.substring(h1, 1, 16).alias("a_text_hash"),
+        F.when(pid % 2 == 0, F.substring(h1, 1, 16))
+        .otherwise(F.substring(h2, 1, 16))
+        .alias("b_text_hash"),
+    )
+    calib_dir = os.path.join(_track(tempfile.mkdtemp(prefix="flbench_calib_")), "pairs")
+    df.write.mode("overwrite").parquet(calib_dir)
+    calib = spark.read.parquet(calib_dir)
+    # warm pass: codegen for THIS plan + page cache (the UDF workers are
+    # already warm from the headline stage); discarded per protocol
+    gammas.pattern_counts(gammas.with_gammas(calib.limit(60_000), fields), fields).collect()
+    wall = float("inf")
+    for _rep in range(2):
+        t = time.time()
+        gammas.pattern_counts(gammas.with_gammas(calib, fields), fields).collect()
+        wall = min(wall, time.time() - t)
+    pps = n / wall if wall > 0 else 0.0
+    ref = _CALIB_REF_PAIRS_PER_SEC.get(cpus) if n == _CALIB_PAIRS_DEFAULT else None
+    return {
+        "pairs": n,
+        "wall_sec": round(wall, 3),
+        "pairs_per_sec": round(pps, 1),
+        "ref_pairs_per_sec": ref,
+        "factor": round(ref / pps, 4) if ref and pps > 0 else None,
+    }
+
+
 def run_once() -> dict:
     """One full bench pass; returns the result dict (sentinel included)
     without printing. main() wraps this in the retry-until-clean loop."""
@@ -293,6 +393,12 @@ def run_once() -> dict:
         gamma_wall = min(gamma_wall, time.time() - t)
     queries["gamma_scoring"] = round(gamma_wall, 3)
     pairs_per_sec = n_pairs / gamma_wall if gamma_wall > 0 else 0.0
+
+    # fixed-work calibration probe, same window + same Arrow batch conf
+    # as the headline stage it normalizes (see _calibration_stage)
+    calib = _calibration_stage(spark, cpus)
+    if calib is not None:
+        queries["calibration"] = calib["wall_sec"]
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
 
     # e2e in PRODUCTION shape: parquet checkpoint per stage (an Iceberg
@@ -348,6 +454,23 @@ def run_once() -> dict:
     ).count()
     queries["simhash_dedup"] = round(time.time() - t, 3)
 
+    # adversarial skew row (r7 verdict item 5): one block key owns ~31%
+    # of all rows (boilerplate-corpus shape, ~3.2M pairs). Fixed work,
+    # pinned shape — a salting regression (one unsalted reduce task
+    # doing n^2/2) shows up here as a multi-x wall jump long before the
+    # randomized tests would drift.
+    from pyspark.sql import functions as _F
+
+    t = time.time()
+    skew_df = spark.range(8_000).select(
+        _F.col("id").alias("rec_id"),
+        _F.when(_F.col("id") < 2_500, _F.lit("hot"))
+        .otherwise(_F.concat(_F.lit("k"), (_F.col("id") % 550).cast("string")))
+        .alias("block_key"),
+    )
+    candidate_pairs(skew_df, dedupe_pairs=False).count()
+    queries["skew_stress_pairs"] = round(time.time() - t, 3)
+
     import shutil
 
     for d in _scratch_dirs:
@@ -357,6 +480,15 @@ def run_once() -> dict:
         "metric": "candidate_pairs_scored_per_sec",
         "value": round(pairs_per_sec, 1),
         "unit": "pairs/sec",
+        # raw value normalized by the fixed-work probe: cross-round
+        # comparable where the raw value is window-bound (r6 control:
+        # same code, 2.0x raw drift between clean windows)
+        "value_calibrated": (
+            round(pairs_per_sec * calib["factor"], 1)
+            if calib is not None and calib.get("factor")
+            else None
+        ),
+        "calibration": calib,
         "queries": queries,
         "sf": sf_dir,
         "cpus": cpus,
@@ -367,13 +499,29 @@ def run_once() -> dict:
             sentinel_pre, queries["fixture_gen"], cpus, n_base
         ),
     }
+    if out["sentinel"]["contended"]:
+        # calibration corrects STEADY window drift (same-code 2.0x
+        # between clean windows, the r6 phenomenon); bursty contention
+        # hits the ~60s headline window and the ~4s probe window
+        # differently (measured r7: raw/calib ratio swung 0.37-0.85
+        # across contended attempts), so a calibrated number on a
+        # contended run is noise — suppressed. The raw probe stays in
+        # `calibration` for the record.
+        out["value_calibrated"] = None
     return out
+
+
+# unique child-result sentinel: taking "the last '{'-prefixed stdout
+# line" would json.loads any post-result '{'-prefixed Spark/py4j
+# shutdown log line instead of the bench dict (ADVICE r6 #3)
+_RESULT_PREFIX = "BENCH_RESULT "
 
 
 def _attempt() -> dict:
     """One bench attempt in a FRESH subprocess (cold JVM/JIT/codegen —
     see main()'s docstring). The child is this script re-exec'd with
-    BENCH_EMIT_RAW=1; its last stdout JSON line is run_once()'s dict."""
+    BENCH_EMIT_RAW=1; its result is the stdout line tagged with
+    _RESULT_PREFIX (exactly one is printed)."""
     env = dict(os.environ)
     env["BENCH_EMIT_RAW"] = "1"
     proc = subprocess.run(
@@ -382,13 +530,13 @@ def _attempt() -> dict:
         text=True,
         env=env,
     )
-    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith(_RESULT_PREFIX)]
     if proc.returncode != 0 or not lines:
         raise RuntimeError(
             f"bench attempt subprocess failed (rc={proc.returncode}):\n"
             + proc.stderr[-2000:]
         )
-    return json.loads(lines[-1])
+    return json.loads(lines[-1][len(_RESULT_PREFIX) :])
 
 
 def main() -> None:
@@ -414,28 +562,57 @@ def main() -> None:
     path stays in-process — it IS the fresh process (the driver or
     BENCH/run.py just spawned it)."""
     if os.environ.get("BENCH_EMIT_RAW") == "1":
-        # child mode for _attempt(): one cold pass, raw dict on stdout
-        print(json.dumps(run_once()))
+        # child mode for _attempt(): one cold pass, tagged dict on stdout
+        print(_RESULT_PREFIX + json.dumps(run_once()))
         sys.stdout.flush()
         return
-    max_attempts = max(1, int(os.environ.get("BENCH_MAX_ATTEMPTS", "3")))
+    import statistics
+
+    max_attempts = max(1, int(os.environ.get("BENCH_MAX_ATTEMPTS", "5")))
+    # median-of-clean (VERDICT r6 "Next round #6"): with attempts in
+    # fresh subprocesses, the driver snapshot takes the MEDIAN of up to
+    # BENCH_TARGET_CLEAN clean attempts instead of first-clean, damping
+    # single-window variance. A wall-clock budget bounds the driver's
+    # wait: stop collecting when the next attempt would overshoot it
+    # and emit the median of whatever clean attempts exist.
+    target_clean = max(1, int(os.environ.get("BENCH_TARGET_CLEAN", "3")))
+    budget_sec = float(os.environ.get("BENCH_TIME_BUDGET_SEC", "1200"))
+    t0 = time.time()
     attempts: list[dict] = []
-    chosen = None
+    clean: list[dict] = []
+    cooldown = float(os.environ.get("BENCH_RETRY_COOLDOWN_SEC", "20"))
     for i in range(max_attempts):
         out = run_once() if max_attempts == 1 else _attempt()
         attempts.append(out)
         if not out["sentinel"]["contended"]:
-            chosen = out
-            break
-        if i < max_attempts - 1:
+            clean.append(out)
+            if len(clean) >= target_clean:
+                break
+        else:
             print(
                 f"bench: attempt {i + 1}/{max_attempts} contended "
                 f"(steal {out['sentinel']['steal_pct']}%, foreign "
-                f"{out['sentinel']['foreign_busy_pct']}%) — cooling down and retrying",
+                f"{out['sentinel']['foreign_busy_pct']}%)",
                 file=sys.stderr,
             )
-            time.sleep(float(os.environ.get("BENCH_RETRY_COOLDOWN_SEC", "20")))
-    if chosen is None:
+        if i < max_attempts - 1:
+            est_next = max(a.get("total_sec", 0.0) for a in attempts) + cooldown
+            if time.time() - t0 + est_next > budget_sec:
+                print(
+                    f"bench: stopping after {i + 1} attempts "
+                    f"({len(clean)} clean) — time budget {budget_sec:.0f}s",
+                    file=sys.stderr,
+                )
+                break
+            if out["sentinel"]["contended"]:
+                time.sleep(cooldown)
+    if clean:
+        # median_low keeps a REAL attempt (value + queries + calibration
+        # stay mutually consistent); with an odd count it IS the median
+        med = statistics.median_low([a["value"] for a in clean])
+        chosen = next(a for a in clean if a["value"] == med)
+        chosen["clean_attempts"] = len(clean)
+    else:
         # least-contended fallback: minimize the two direct foreign-load
         # signals (ALU ratio is the noisiest of the three — turbo spread)
         chosen = min(
@@ -443,7 +620,17 @@ def main() -> None:
             key=lambda o: o["sentinel"]["steal_pct"] + o["sentinel"]["foreign_busy_pct"],
         )
         chosen["all_attempts_contended"] = True
-    chosen["attempts"] = [a["sentinel"] for a in attempts]
+    # each attempt rides along with its headline values so the artifact
+    # shows the spread the median damped
+    chosen["attempts"] = [
+        {
+            "value": a["value"],
+            "value_calibrated": a.get("value_calibrated"),
+            "calib_pairs_per_sec": (a.get("calibration") or {}).get("pairs_per_sec"),
+            **a["sentinel"],
+        }
+        for a in attempts
+    ]
     print(json.dumps(chosen))
     sys.stdout.flush()
 

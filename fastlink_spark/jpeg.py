@@ -254,12 +254,16 @@ def _decode_scan(payload, scan_start, sos, frame, qt, dc_tabs, ac_tabs, restart_
         raise ValueError("bad JPEG dimensions")
     # declared-dims cap BEFORE any allocation (PNG decoder's rule),
     # budgeted at PEAK transient usage, not output size: per-pixel the
-    # decode holds int64 zigzag coefs (8 B) + float64 deq/nat/spatial
-    # temporaries (3x8 B) + up to three upsampled float64 planes
-    # (3x8 B) + the float64 rgb stack (24 B) ≈ 80 B/px worst case
-    # (r6 review: the earlier 12 B/px budget admitted ~4x the cap in
-    # real allocations). 2 GiB / 80 B ≈ a 26.8 MP ceiling per row —
-    # comfortably above ordinary phone photos (12-24 MP).
+    # decode holds int32 coef storage (4 B) + int64 deq (8 B) + float64
+    # deq/nat/spatial temporaries (3x8 B) + up to three upsampled
+    # float64 planes (3x8 B) + the float64 rgb stack (24 B) ≈ 80 B/px
+    # worst case (r6 review: the earlier 12 B/px budget admitted ~4x
+    # the cap in real allocations; r7/ADVICE: coef storage moved from
+    # lists of boxed ints — ~84+ B/px of Python object overhead the
+    # budget did not count — to a preallocated int32 ndarray, so every
+    # term above is a real flat allocation now). 2 GiB / 80 B ≈ a
+    # 26.8 MP ceiling per row — comfortably above ordinary phone
+    # photos (12-24 MP).
     if h * w * 80 > JPEG_MAX_PIXEL_BYTES:
         raise ValueError(
             f"JPEG dimensions {w}x{h} exceed the decode cap "
@@ -309,11 +313,16 @@ def _decode_scan(payload, scan_start, sos, frame, qt, dc_tabs, ac_tabs, restart_
             "q_zz": qt[tq].astype(np.int64),  # zigzag order, as stored in DQT
             "dc": dc_tabs[td],
             "ac": ac_tabs[ta],
-            # block -> 64 coefficient list (zigzag order); plain lists
-            # in the hot sequential loop, one bulk int64 conversion
-            # before the batched IDCT (r6 review: per-block numpy
-            # scalar stores were ~10x a list op)
-            "coefs": [None] * (bh * bw),
+            # preallocated (blocks, 64) int32 coef store (zigzag order):
+            # one vectorized row-assign per decoded block (NOT 64 numpy
+            # scalar stores — those were ~10x a list op, r6 review), no
+            # boxed-int overhead (r7/ADVICE: lists of 64 Python ints
+            # cost ~84+ B/px, ~2x the whole declared budget). int32 is
+            # safe: AC coefs are <2^15 by category; the DC pred
+            # accumulates diffs of magnitude <2^11 over at most ~850k
+            # blocks at the 26.8 MP cap (incl. MCU padding), so
+            # |pred| < 1.8e9 < 2^31.
+            "coefs": np.zeros((bh * bw, 64), dtype=np.int32),
             "bw": bw,
             "bh": bh,
         }
@@ -347,7 +356,7 @@ def _decode_scan(payload, scan_start, sos, frame, qt, dc_tabs, ac_tabs, restart_
     for cid, _, _, _ in comps:  # planes in FRAME order (Y, Cb, Cr)
         pc = per_comp[cid]
         # dequantize + dezigzag + batched IDCT over ALL blocks at once
-        deq = np.asarray(pc["coefs"], dtype=np.int64) * pc["q_zz"]
+        deq = pc["coefs"].astype(np.int64) * pc["q_zz"]
         deq = deq.astype(np.float64)
         nat = np.zeros_like(deq)
         nat[:, _ZIGZAG] = deq
@@ -380,7 +389,8 @@ def _decode_scan(payload, scan_start, sos, frame, qt, dc_tabs, ac_tabs, restart_
 
 def _decode_block(r: _BitReader, dct: _Huff, act: _Huff, preds: list[int], ci: int):
     """One 8x8 block -> 64 quantized coefficients (plain list, zigzag
-    order — converted to int64 in one bulk pass per component)."""
+    order — row-assigned into the component's int32 coef ndarray by
+    the caller; the list itself is transient per block)."""
     zz = [0] * 64
     s = r.huff(dct)
     if s > 11:

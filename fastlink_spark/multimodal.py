@@ -86,11 +86,21 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     # tolerated below (it cannot shift the fixed [pos, pos+n) read).
     # only when the payload actually has a surplus byte: a lone '\r'
     # separator followed by a first pixel byte of 0x0A is a CONFORMING
-    # exact-length file the pattern alone cannot distinguish (r6 review)
+    # exact-length file the pattern alone cannot distinguish (r6 review).
+    # When BOTH readings are consistent — e.g. lone-'\r' separator,
+    # first pixel byte 0x0A, and a trailing-whitespace surplus like a
+    # final '\n' (r7 ADVICE) — prefer the CONFORMING exact-offset
+    # reading: skip only when reading pixels at pos would leave a
+    # non-whitespace tail (i.e. the CRLF-writer reading is the only
+    # self-consistent one). The one remaining ambiguity is inherent to
+    # the byte stream: a CRLF-written file whose LAST pixel byte is
+    # whitespace-valued also satisfies the conforming reading and
+    # decodes shifted — no parser can distinguish those two files.
     if (
         len(payload) - pos > n
         and payload[pos - 1 : pos] == b"\r"
         and payload[pos : pos + 1] == b"\n"
+        and not payload[pos + n :].isspace()
     ):
         pos += 1
     if len(payload) - pos < n:

@@ -72,6 +72,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -105,6 +106,7 @@ class IncrementalLinker:
         *,
         auto_compact_segments: int | None = None,
         auto_compact_relabels: int | None = None,
+        keep_generations: int = 0,
     ):
         """``auto_compact_segments`` / ``auto_compact_relabels`` (r6
         verdict item 5): optional read-amplification bounds. When the
@@ -121,7 +123,17 @@ class IncrementalLinker:
         GC the segments backing frames returned by EARLIER calls, so
         collect or persist a returned frame before the next batch if
         you need it to outlive one. None (default) = never
-        auto-compact; call compact() manually."""
+        auto-compact; call compact() manually.
+
+        ``keep_generations`` (r6 verdict item 4): retention grace for
+        compact()'s GC. 0 (default) keeps the strict VACUUM contract —
+        retired segments are deleted at commit, invalidating frames
+        handed out earlier. N >= 1 RELAXES it: the manifest carries the
+        last N superseded segment sets (``retained``) and GC spares
+        them, so a frame obtained before up to N compactions still
+        reads; generations roll off FIFO, so cleanup is eventual, not
+        cancelled — the same knob as Iceberg's snapshot retention
+        (expire_snapshots retain-last)."""
         self.spark = spark
         self.state_dir = state_dir
         self.em = em
@@ -134,6 +146,13 @@ class IncrementalLinker:
                 raise ValueError(f"{name} must be >= 1, got {v}")
         self.auto_compact_segments = auto_compact_segments
         self.auto_compact_relabels = auto_compact_relabels
+        if keep_generations < 0:
+            raise ValueError(f"keep_generations must be >= 0, got {keep_generations}")
+        self.keep_generations = keep_generations
+        # stage-wall counters of the most recent process_batch (see
+        # _process_batch_inner) — observability only, never read back
+        # by the engine itself
+        self.last_batch_metrics: dict | None = None
         os.makedirs(state_dir, exist_ok=True)
 
     def should_compact(self, manifest: dict | None = None) -> bool:
@@ -154,9 +173,11 @@ class IncrementalLinker:
     # -- state: manifest-pointer layout -----------------------------------
     # MANIFEST.json is the ONE commit point: {"version": 2, "seq": N,
     # "last_batch_id": B, "records": [segdir...], "entities":
-    # [segdir...], "relabels": {label: label}}. Segment dirs are
-    # immutable once referenced; writers stage new segments then swap
-    # the manifest via atomic rename.
+    # [segdir...], "relabels": {label: label}, "retained":
+    # [{seq, records, entities}...] (optional — keep_generations
+    # history; those segments are GC-exempt until they roll off)}.
+    # Segment dirs are immutable once referenced; writers stage new
+    # segments then swap the manifest via atomic rename.
     def _path(self, name: str) -> str:
         return os.path.join(self.state_dir, name)
 
@@ -213,10 +234,14 @@ class IncrementalLinker:
         """Best-effort removal of state dirs no manifest references —
         orphan segments from crashed batches and segments retired by
         compact(). Runs AFTER a successful commit only, so nothing
-        live is ever touched."""
+        live is ever touched. Segment sets listed in the manifest's
+        ``retained`` history (keep_generations > 0) count as live
+        until their generation rolls off."""
         import shutil
 
         live = set(manifest["records"]) | set(manifest["entities"])
+        for gen in manifest.get("retained", []):
+            live |= set(gen.get("records", [])) | set(gen.get("entities", []))
         for d in os.listdir(self.state_dir):
             full = os.path.join(self.state_dir, d)
             if not os.path.isdir(full) or d in live:
@@ -362,7 +387,17 @@ class IncrementalLinker:
     ) -> DataFrame:
         cfg = self.cfg
         fields = list(cfg.fields)
+        # per-stage wall counters (north-star "per-partition lineage
+        # and counters"): each entry closes at a real Spark action
+        # boundary (mat() parquet write / toPandas / collect), so the
+        # walls are true stage costs, not lazy-plan noise. Read them
+        # from ``last_batch_metrics`` after the call — BENCH/
+        # stream_scale.py uses them to evidence that state-dependent
+        # stages stay flat as the corpus grows (r4+r6 prunes).
+        walls: dict = {}
+        t0 = time.time()
         new_rec = mat(prepare_pages(new_pages, cfg), "new_rec")
+        walls["prepare"] = round(time.time() - t0, 3)
 
         old_rec = self._read_segments(manifest, "records")
         attrs = ["rec_id"] + [f.name for f in fields]
@@ -415,7 +450,10 @@ class IncrementalLinker:
         ).where(F.col("a_rec_id") != F.col("b_rec_id"))
         scored = gammas.with_gammas(pairs, fields)
         gcols = [f"gamma_{f.name}" for f in fields]
+        t0 = time.time()
         patt = gammas.pattern_counts(scored, fields).toPandas()
+        walls["index_pairs_gamma"] = round(time.time() - t0, 3)
+        t0 = time.time()
         if len(patt) == 0:
             matched = None
         else:
@@ -426,6 +464,8 @@ class IncrementalLinker:
             # three consumers of one gamma-scored plan.
             zdf = zeta_pattern_df(self.spark, apply_em(patt, self.em), gcols)
             matched = mat(matched_from_zeta(scored, zdf, gcols, cfg), "matched")
+        walls["matched"] = round(time.time() - t0, 3)
+        t0 = time.time()
 
         # partner lookup pruned to the batch's matched partner-id set
         # (r6 verdict item 1): the latest-wins groupBy runs over ONLY
@@ -477,6 +517,10 @@ class IncrementalLinker:
         new_ent = mat(
             new_ent.join(new_rec.select("rec_id", "url"), "rec_id"), "new_ent"
         )
+        # the pruned entities-state read + partner join + assignment —
+        # THE stage that must stay O(batch) as the corpus grows
+        walls["entities_partner_assign"] = round(time.time() - t0, 3)
+        t0 = time.time()
 
         # Reconcile: matched pairs whose endpoints got DIFFERENT labels
         # (within-batch transitive chains; new record bridging old
@@ -550,6 +594,8 @@ class IncrementalLinker:
                     "new_ent_relabel",
                 )
 
+        walls["reconcile"] = round(time.time() - t0, 3)
+        t0 = time.time()
         # stage segments (overwrite: a replay of a crashed batch
         # recomputes the same seq and clobbers its own orphans), then
         # commit everything in one manifest rename
@@ -570,8 +616,21 @@ class IncrementalLinker:
             "entities": manifest["entities"] + [ent_seg],
             "relabels": new_relabels,
         }
+        # carry the retention history through batch commits unchanged —
+        # dropping it here would let this commit's GC delete segments a
+        # pre-compact reader still holds (keep_generations contract)
+        if manifest.get("retained"):
+            committed["retained"] = manifest["retained"]
         self._commit_manifest(committed)
         self._gc_unreferenced(committed)
+        walls["stage_commit"] = round(time.time() - t0, 3)
+        self.last_batch_metrics = {
+            "batch_id": batch_id,
+            "seq": seq,
+            "n_record_segments": len(committed["records"]),
+            "n_relabels": len(new_relabels),
+            "walls": walls,
+        }
         # serve the batch's rows from COMMITTED state, not scratch —
         # the frame outlives mat.close(), and stays readable until the
         # next compact() retires this segment (same VACUUM contract as
@@ -603,7 +662,10 @@ class IncrementalLinker:
         earlier process_batch()/entities() calls (their lazy plans
         point at retired segment dirs) — the same semantics as
         expiring Iceberg snapshots; materialize anything you need
-        across a compaction."""
+        across a compaction, OR construct the linker with
+        ``keep_generations=N`` to retain the last N superseded segment
+        sets (pre-compact frames stay readable for N generations; see
+        __init__)."""
         manifest = self._load_manifest()
         records = self._read_segments(manifest, "records")
         if records is None:
@@ -689,6 +751,18 @@ class IncrementalLinker:
             "entities": [ent_seg],
             "relabels": {},
         }
+        if self.keep_generations > 0:
+            # retention grace (keep_generations contract): the
+            # superseded segment set joins the retained history; the
+            # oldest generation rolls off FIFO and becomes GC-eligible
+            retired = {
+                "seq": manifest["seq"],
+                "records": manifest["records"],
+                "entities": manifest["entities"],
+            }
+            committed["retained"] = (manifest.get("retained", []) + [retired])[
+                -self.keep_generations :
+            ]
         self._commit_manifest(committed)
         self._gc_unreferenced(committed)
         return self.spark.read.parquet(self._path(ent_seg)).drop("_seq")

@@ -324,7 +324,11 @@ def _fake_bench_out(contended, steal, foreign, value):
     }
 
 
-def test_bench_main_emits_first_clean_attempt(monkeypatch, capsys):
+def test_bench_main_emits_clean_attempt(monkeypatch, capsys):
+    """r7 update (verdict r6 item 6): the loop now collects up to
+    BENCH_TARGET_CLEAN clean attempts and emits the MEDIAN one; with
+    target 1 it degenerates to the r6 first-clean behavior tested
+    here."""
     import json
 
     import bench
@@ -340,11 +344,13 @@ def test_bench_main_emits_first_clean_attempt(monkeypatch, capsys):
     monkeypatch.setattr(bench, "_attempt", lambda: next(outs))
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     monkeypatch.setenv("BENCH_MAX_ATTEMPTS", "3")
+    monkeypatch.setenv("BENCH_TARGET_CLEAN", "1")
     bench.main()
     line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
     got = json.loads(line)
     assert got["value"] == 900.0
     assert got["sentinel"]["contended"] is False
+    assert got["clean_attempts"] == 1
     assert len(got["attempts"]) == 2
     assert "all_attempts_contended" not in got
 
