@@ -367,10 +367,16 @@ def _pairs_with_zeta(spark: SparkSession, sf_dir: str):
     """Shared by q17/q27: source-blocked pairs, SQL-oracle-able gammas,
     distributed pattern counts, deterministic driver fit."""
     from fastlink_spark.operators.gammas import FieldSpec, pattern_counts, with_gammas
+    from fastlink_spark.plans.materialize import resolve as _resolve_mat
 
     pairs = _doc_pairs_by_source(spark, sf_dir, force_salting=False)
     fields = [FieldSpec("lang", "exact"), FieldSpec("n_chars", "numeric", 10.0, 50.0)]
-    scored = with_gammas(pairs, fields)
+    # materialize the scored pair table ONCE (r8): four consumers read
+    # it (pattern fit, the zeta join, name_reweight's agreeing/m_v/rest
+    # scans) and each used to re-run the salted pair join + gamma
+    # ladder from the parquet scan — same r5 rationale as the
+    # pipeline's pairs_gamma checkpoint.
+    scored = _resolve_mat(None)(with_gammas(pairs, fields), "entry_scored")
     patt = pattern_counts(scored, fields)
     em, zrows = _fit_em(patt.toPandas())
     zdf = spark.createDataFrame(zrows, "gamma_lang int, gamma_n_chars int, zeta double")

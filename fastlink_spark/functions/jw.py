@@ -43,9 +43,10 @@ def _codes(strings: np.ndarray, max_len: int) -> tuple[np.ndarray, np.ndarray]:
         return np.zeros((0, 1), dtype=np.uint32), np.zeros(0, dtype=np.int64)
     lens = np.fromiter((min(len(s), max_len) for s in strings), dtype=np.int64, count=n)
     L = max(int(lens.max()), 1)
-    u = np.zeros(n, dtype=f"U{L}")
-    for i, s in enumerate(strings):  # unavoidable object->fixed-width copy
-        u[i] = s[:L]
+    # object->fixed-width copy in ONE C-level cast: astype to 'U{L}'
+    # truncates longer strings to L exactly like the old per-row
+    # ``s[:L]`` loop (verified byte-equal), without n Python iterations
+    u = strings.astype(f"U{L}")
     codes = u.view(np.uint32).reshape(n, L)
     return codes, lens
 

@@ -43,29 +43,31 @@ def _large_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(e: DataFrame) -> DataFrame:
+def _small_star(e: DataFrame, *, oriented: bool = False) -> DataFrame:
     """Orient edges high->low; connect every smaller neighbor (and u
-    itself) to the minimum of the smaller-neighborhood."""
-    o = (
-        e.where(F.col("u") != F.col("v"))
-        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-        .distinct()
-    )
+    itself) to the minimum of the smaller-neighborhood.
+
+    ``oriented=True`` (r8 optimization): skip the re-orientation +
+    distinct when the input provably already satisfies the
+    postcondition — ``_large_star`` emits ``(u', v') = (v, least(mn, u))``
+    only for rows with ``v > u``, so ``v' <= u < v = u'`` strictly (no
+    self-loops, already high->low) and it ends in ``.distinct()``. The
+    loop always feeds small-star from large-star, so this removes one
+    full exchange + dedup of the edge set per CC round."""
+    if oriented:
+        o = e
+    else:
+        o = (
+            e.where(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+        )
     nbr_min = o.groupBy("u").agg(F.min("v").alias("mn"))
     joined = o.join(nbr_min, "u")
     out = joined.select(F.col("v").alias("u"), F.col("mn").alias("v")).union(
         nbr_min.select(F.col("u"), F.col("mn").alias("v"))
     )
     return out.where(F.col("u") != F.col("v")).distinct()
-
-
-def _fingerprint(e: DataFrame) -> str:
-    # one order-insensitive (count, xor, sum) checksum — shared with the
-    # stage-manifest fingerprint so the two recipes cannot drift (the
-    # edge df holds exactly the (u, v) columns the checksum hashes).
-    from ..plans.checkpoint import content_fingerprint
-
-    return content_fingerprint(e)[1]
 
 
 def connected_components(
@@ -91,31 +93,36 @@ def connected_components(
     DISK_ONLY localCheckpoint, parquet for the production shape).
     """
     mat = resolve(materializer)
-    e = edges.select(
+    e0 = edges.select(
         F.col(edges.columns[0]).alias("u"),
         F.col(edges.columns[1]).alias("v"),
     ).where(F.col("u") != F.col("v")).distinct()
-    e = mat(e, "cc_edges")
 
-    # ONE aggregation pass serves both the iteration bound and the
-    # convergence fingerprint (r5 review: count() + fingerprint were
-    # two full scans of the materialized edge set)
-    from ..plans.checkpoint import content_fingerprint
+    # the iteration-bound/convergence fingerprint rides the
+    # materializer's own action as a query observation (r8: the r5 fix
+    # merged count+fingerprint into ONE extra scan; this removes that
+    # scan entirely — the cut write streams every row anyway)
+    from ..plans.checkpoint import fingerprint_observation
 
-    n_edges, prev = content_fingerprint(e)
+    e0, _fp0 = fingerprint_observation(e0)
+    e = mat(e0, "cc_edges")
+    n_edges, prev = _fp0(fallback_df=e)
     if max_iter is None:
         # large/small-star converges in O(log^2 n) worst case, ~log n in
         # practice; generous bound, asserted below.
         max_iter = max(10, 2 * int(math.log2(max(n_edges, 2))) + 10)
     converged = False
     for it in range(1, max_iter + 1):
-        e2 = _small_star(_large_star(e))
-        e2 = mat(e2, "cc_round")
+        # large-star output is strictly oriented + distinct, so
+        # small-star skips its re-orientation exchange (see _small_star)
+        ss = _small_star(_large_star(e), oriented=True)
+        ss, _fp = fingerprint_observation(ss)
+        e2 = mat(ss, "cc_round")
         if on_round is not None:
             maybe = on_round(it, e2)
             if maybe is not None:
                 e2 = maybe
-        cur = _fingerprint(e2)
+        cur = _fp(fallback_df=e2)[1]
         e = e2
         if cur == prev:
             converged = True

@@ -69,17 +69,47 @@ CODEGEN_MAX_TERMS = 1_100
 _NP_CHUNK = 2_048  # rows per (chunk, k) distance block (~k*16KB each)
 
 
+def _letter_features_udf():
+    """Arrow-batched 27-dim letter embedding: ONE vectorized pass per
+    batch (flatten codepoints, mask a-z/A-Z, bincount on
+    row*26+letter) instead of the 26 per-letter JVM regexp_replace
+    scans of the full text the expression form paid (r8 optimization,
+    guide §4.2 — 26 regex passes over document text dominated the
+    feature stage). Counts are exact integers, identical to the regex
+    form for every input: Python len() and Spark length() both count
+    code points, and [xX] occurrence count == codepoint-equality count.
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _udf(texts: pd.Series) -> pd.Series:
+        vals = ["" if v is None else v for v in texts.tolist()]
+        n = len(vals)
+        lens = np.fromiter((len(v) for v in vals), dtype=np.int64, count=n)
+        counts = np.zeros((n, 26), dtype=np.int64)
+        total = int(lens.sum())
+        if total:
+            flat = np.frombuffer("".join(vals).encode("utf-32-le"), dtype=np.uint32)
+            row_of = np.repeat(np.arange(n), lens)
+            is_letter = ((flat >= 65) & (flat <= 90)) | ((flat >= 97) & (flat <= 122))
+            if is_letter.any():
+                lower = flat[is_letter] | np.uint32(0x20)  # ASCII case-fold
+                idx = row_of[is_letter] * 26 + (lower - 97)
+                counts.reshape(-1)[:] += np.bincount(idx, minlength=n * 26)
+        out = np.concatenate([counts, lens[:, None]], axis=1)
+        return pd.Series(list(out))
+
+    return _udf
+
+
 def letter_features(df: DataFrame, col: str, out: str = "lf_vec") -> DataFrame:
     """27-dim integer embedding: count of [aA], [bB], ... [zZ] plus
     total length (the reference's alphabetical encoding, kept integer
-    so downstream sums are exact)."""
+    so downstream sums are exact). Computed by a vectorized Arrow UDF
+    (_letter_features_udf) — value-identical to the original 26-regex
+    expression form, ~one pass over the text instead of 26."""
     s = F.coalesce(F.col(col), F.lit(""))
-    dims = [
-        (F.length(s) - F.length(F.regexp_replace(s, f"[{ch}{ch.upper()}]", ""))).cast("long")
-        for ch in LETTERS
-    ]
-    dims.append(F.length(s).cast("long"))
-    return df.withColumn(out, F.array(*dims))
+    return df.withColumn(out, _letter_features_udf()(s))
 
 
 def _dist(vec_col: str, cent: list[float]):
@@ -380,8 +410,22 @@ def fit_kmeans(
         for i in range(N_DIMS)
     ]
     for _ in range(n_iter):
+        # Lloyd rounds assign via the broadcast-centroid pandas path
+        # REGARDLESS of k (r8 optimization): the codegen expression
+        # embeds the round's centroids as literals, so every iteration
+        # is a FRESH janino whole-stage compile of a k*27*3-term
+        # expression (~2-4 s each, constant in data size — it dominated
+        # the q30 wall: 8 iterations ~ 25 s of pure compilation). The
+        # pandas path is bit-identical by construction (_np_dists
+        # left-associated IEEE order, FIRST-minimum argmin — pinned by
+        # test_cluster_match_k64_paths_bit_identical and the q30 hard
+        # oracle), so the fitted trajectory is unchanged; the sum/agg
+        # expression below carries no literals and compiles once. The
+        # final caller-facing assignment (assign_clusters) keeps the
+        # codegen-vs-pandas size switch: one compile, amortized over
+        # the full table scan.
         agg = (
-            assign_clusters(feats, cents, vec_col)
+            feats.withColumn("cluster", _pandas_assign(cents)(F.col(vec_col)))
             # defense-in-depth: the usable-vector filter above should
             # make a null cluster unreachable inside fit, but if one
             # ever forms (future assignment-path change) the None

@@ -41,6 +41,26 @@ DEFAULT_TARGET_BLOCK = 500  # aim for ~target^2/2 comparisons per reduce cell
 MAX_SALTS = 4_096
 
 
+def _wide_attrs(df: DataFrame, cols: list[str]) -> bool:
+    """True if any of `cols` is variable-width (string/binary/array/
+    map/struct). Drives slim-pair mode: fixed-width attrs keep first()
+    aggregation buffers mutable, so the ride-along dedupe stays a cheap
+    HashAggregate and two attach joins would be a net loss; a single
+    variable-width attr flips dropDuplicates to a SortAggregate over
+    the full pre-dedupe pair stream with the payload riding along."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        NumericType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    fixed = (NumericType, BooleanType, DateType, TimestampType, TimestampNTZType)
+    types = {f.name: f.dataType for f in df.schema.fields}
+    return any(not isinstance(types[c], fixed) for c in cols)
+
+
 def _salt_plan(profile: DataFrame, skew_threshold: int, target: int) -> DataFrame:
     """(block_key, n) -> (block_key, __s_cnt) for blocks needing S>1.
 
@@ -80,15 +100,33 @@ def candidate_pairs(
 
     plan = _salt_plan(block_profile(blocked), skew_threshold, target_block)
 
+    attr_cols = [c for c in blocked.columns if c not in ("block_key",)]
+    other_attrs = [c for c in attr_cols if c != id_col]
+    # Slim-pair mode (r8, guide §8 "decide with small rows, move big
+    # rows once"): when pairs must be deduped across overlapping block
+    # keys AND carry non-id attributes, run the whole grid join +
+    # canonicalization + dedupe over (block_key, salts, id) ONLY, then
+    # attach the attributes once per side from the per-record
+    # projection of `blocked`. The old shape replicated every attribute
+    # through the grid explode, shuffled it through the pair join, and
+    # — because ``first(string)`` aggregation buffers are sort-based —
+    # paid a FULL SORT of the pre-dedupe pair stream with the payloads
+    # riding along (plans/r08/candidate_pairs_before.txt: Exchange +
+    # Sort + SortAggregate). Slim pairs dedupe as a hash aggregate
+    # over two ids, and the payload crosses the network once per side
+    # (records-sized, AQE broadcasts it when it fits). Output rows are
+    # identical: a record's attributes are constant across its blocked
+    # rows, so any representative equals every other.
+    slim = dedupe_pairs and _wide_attrs(blocked, other_attrs)
     rows = (
-        blocked.join(F.broadcast(plan), "block_key", "left")
+        (blocked.select("block_key", id_col) if slim else blocked)
+        .join(F.broadcast(plan), "block_key", "left")
         .withColumn("__s_cnt", F.coalesce(F.col("__s_cnt"), F.lit(1)))
         .withColumn(
             "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.col("__s_cnt")).cast("int")
         )
     )
-
-    attr_cols = [c for c in blocked.columns if c not in ("block_key",)]
+    side_cols = [id_col] if slim else attr_cols
     # Grid replication via explode(sequence(...)): a-row with salt x
     # covers cells (x, sb in [x, S)), b-row with salt y covers cells
     # (sa in [0, y], y). Per-row fan-out totals S+1 across the two
@@ -99,7 +137,7 @@ def candidate_pairs(
         F.col("block_key").alias("__bk_a"),
         F.col("__salt").alias("__sa"),
         F.col("__sb").cast("int").alias("__sb"),
-        *[F.col(c).alias(f"a_{c}") for c in attr_cols],
+        *[F.col(c).alias(f"a_{c}") for c in side_cols],
     )
     b = rows.withColumn(
         "__sa", F.explode(F.sequence(F.lit(0), F.col("__salt")))
@@ -107,7 +145,7 @@ def candidate_pairs(
         F.col("block_key").alias("__bk_b"),
         F.col("__sa").cast("int").alias("__sa_b"),
         F.col("__salt").alias("__sb_b"),
-        *[F.col(c).alias(f"b_{c}") for c in attr_cols],
+        *[F.col(c).alias(f"b_{c}") for c in side_cols],
     )
     # Oriented triangle: each unordered pair is produced exactly once —
     # a pair with salts (x, y), x < y, materializes only in cell (x, y)
@@ -137,17 +175,39 @@ def candidate_pairs(
     pairs = pairs.select(
         *[
             F.when(swap, F.col(f"b_{c}")).otherwise(F.col(f"a_{c}")).alias(f"a_{c}")
-            for c in attr_cols
+            for c in side_cols
         ],
         *[
             F.when(swap, F.col(f"a_{c}")).otherwise(F.col(f"b_{c}")).alias(f"b_{c}")
-            for c in attr_cols
+            for c in side_cols
         ],
     )
 
     if dedupe_pairs:
         pairs = pairs.dropDuplicates([f"a_{id_col}", f"b_{id_col}"])
-    return pairs
+    if not slim:
+        return pairs
+    # attach attributes once per side (see slim-pair note above). The
+    # per-record side table dedupes blocked's per-key replication —
+    # records-sized, and joined unhinted so AQE broadcasts it when
+    # small and shuffle-joins it at scale.
+    attr_src = blocked.select(id_col, *other_attrs).dropDuplicates([id_col])
+    out = pairs.join(
+        attr_src.select(
+            F.col(id_col).alias(f"a_{id_col}"),
+            *[F.col(c).alias(f"a_{c}") for c in other_attrs],
+        ),
+        f"a_{id_col}",
+    ).join(
+        attr_src.select(
+            F.col(id_col).alias(f"b_{id_col}"),
+            *[F.col(c).alias(f"b_{c}") for c in other_attrs],
+        ),
+        f"b_{id_col}",
+    )
+    return out.select(
+        *[F.col(f"a_{c}") for c in attr_cols], *[F.col(f"b_{c}") for c in attr_cols]
+    )
 
 
 def candidate_pairs_two(
@@ -192,9 +252,24 @@ def candidate_pairs_two(
 
     a_cols = [c for c in blocked_a.columns if c != "block_key"]
     b_cols = [c for c in blocked_b.columns if c != "block_key"]
+    a_others = [c for c in a_cols if c != id_col]
+    b_others = [c for c in b_cols if c != id_col]
+    # slim-pair mode: same rationale and equivalence argument as the
+    # self-join form above — grid-replicate and dedupe ids only, attach
+    # each side's attributes once afterwards.
+    slim = dedupe_pairs and (
+        _wide_attrs(blocked_a, a_others) or _wide_attrs(blocked_b, b_others)
+    )
+    if slim:
+        blocked_a_j = blocked_a.select("block_key", id_col)
+        blocked_b_j = blocked_b.select("block_key", id_col)
+        a_side_cols, b_side_cols = [id_col], [id_col]
+    else:
+        blocked_a_j, blocked_b_j = blocked_a, blocked_b
+        a_side_cols, b_side_cols = a_cols, b_cols
 
     a = (
-        blocked_a.join(F.broadcast(plan), "block_key", "left")
+        blocked_a_j.join(F.broadcast(plan), "block_key", "left")
         .withColumn("__s_cnt", F.coalesce(F.col("__s_cnt"), F.lit(1)))
         .withColumn("__t_cnt", F.coalesce(F.col("__t_cnt"), F.lit(1)))
         .withColumn(
@@ -205,11 +280,11 @@ def candidate_pairs_two(
             F.col("block_key").alias("__bk_a"),
             "__i",
             F.col("__j").cast("int").alias("__j"),
-            *[F.col(c).alias(f"a_{c}") for c in a_cols],
+            *[F.col(c).alias(f"a_{c}") for c in a_side_cols],
         )
     )
     b = (
-        blocked_b.join(F.broadcast(plan), "block_key", "left")
+        blocked_b_j.join(F.broadcast(plan), "block_key", "left")
         .withColumn("__s_cnt", F.coalesce(F.col("__s_cnt"), F.lit(1)))
         .withColumn("__t_cnt", F.coalesce(F.col("__t_cnt"), F.lit(1)))
         .withColumn(
@@ -220,7 +295,7 @@ def candidate_pairs_two(
             F.col("block_key").alias("__bk_b"),
             F.col("__i").cast("int").alias("__i_b"),
             F.col("__j").alias("__j_b"),
-            *[F.col(c).alias(f"b_{c}") for c in b_cols],
+            *[F.col(c).alias(f"b_{c}") for c in b_side_cols],
         )
     )
     pairs = a.join(
@@ -234,4 +309,24 @@ def candidate_pairs_two(
     ).drop("__bk_a", "__bk_b", "__i", "__j", "__i_b", "__j_b")
     if dedupe_pairs:
         pairs = pairs.dropDuplicates([f"a_{id_col}", f"b_{id_col}"])
-    return pairs
+    if not slim:
+        return pairs
+    if a_others:
+        pairs = pairs.join(
+            blocked_a.select(
+                F.col(id_col).alias(f"a_{id_col}"),
+                *[F.col(c).alias(f"a_{c}") for c in a_others],
+            ).dropDuplicates([f"a_{id_col}"]),
+            f"a_{id_col}",
+        )
+    if b_others:
+        pairs = pairs.join(
+            blocked_b.select(
+                F.col(id_col).alias(f"b_{id_col}"),
+                *[F.col(c).alias(f"b_{c}") for c in b_others],
+            ).dropDuplicates([f"b_{id_col}"]),
+            f"b_{id_col}",
+        )
+    return pairs.select(
+        *[F.col(f"a_{c}") for c in a_cols], *[F.col(f"b_{c}") for c in b_cols]
+    )

@@ -35,6 +35,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _fp_aggs(df: DataFrame) -> list:
+    """THE fingerprint aggregate recipe — one definition shared by the
+    standalone scan (content_fingerprint) and the piggybacked
+    observation (fingerprint_observation) so the two can never drift."""
+    h = F.xxhash64(*[F.col(c) for c in df.columns])
+    return [
+        F.count(F.lit(1)).alias("rows"),
+        F.bit_xor(h).alias("xor"),
+        F.sum(h.cast("decimal(38,0)")).alias("hsum"),
+    ]
+
+
+def _fp_format(row) -> tuple[int, str]:
+    rows = int(row["rows"])
+    fingerprint = (
+        f"{rows}:{row['xor'] if row['xor'] is not None else 0}"
+        f":{row['hsum'] if row['hsum'] is not None else 0}"
+    )
+    return rows, fingerprint
+
+
 def content_fingerprint(df: DataFrame) -> tuple[int, str]:
     """One-pass (row_count, checksum) over every column. bit_xor ALONE
     is self-canceling on duplicate rows (an upstream rebuild swapping
@@ -42,18 +63,40 @@ def content_fingerprint(df: DataFrame) -> tuple[int, str]:
     identically); the decimal SUM term breaks that — any multiplicity
     change moves the sum. Both terms are order-insensitive, so the
     checksum is partitioning-independent."""
-    h = F.xxhash64(*[F.col(c) for c in df.columns])
-    agg = df.agg(
-        F.count("*").alias("rows"),
-        F.bit_xor(h).alias("xor"),
-        F.sum(h.cast("decimal(38,0)")).alias("hsum"),
-    ).collect()[0]
-    rows = int(agg["rows"])
-    fingerprint = (
-        f"{rows}:{agg['xor'] if agg['xor'] is not None else 0}"
-        f":{agg['hsum'] if agg['hsum'] is not None else 0}"
-    )
-    return rows, fingerprint
+    return _fp_format(df.agg(*_fp_aggs(df)).collect()[0])
+
+
+def fingerprint_observation(df: DataFrame):
+    """(observed_df, resolver): attach the content-fingerprint
+    aggregates as a query Observation so the NEXT action over the
+    returned DataFrame (a checkpoint parquet write, a localCheckpoint
+    cut) computes them in the SAME pass — the standalone
+    content_fingerprint scan re-read every byte of a stage that the
+    write had just streamed (r8 optimization, guide §1.2 "don't compute
+    things twice": one full-column scan per checkpoint stage and per CC
+    round removed). resolver() returns (rows, fingerprint) identical to
+    content_fingerprint by shared recipe (_fp_aggs/_fp_format). If no
+    action has produced the metrics within the timeout (an injected
+    materializer that defers its action), resolver falls back to the
+    standalone scan — correctness never depends on the observation
+    firing."""
+    import threading
+
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, *_fp_aggs(df))
+
+    def resolver(fallback_df: DataFrame | None = None, timeout: float = 60.0):
+        got: dict = {}
+        t = threading.Thread(target=lambda: got.update(obs.get), daemon=True)
+        t.start()
+        t.join(timeout=timeout)
+        if t.is_alive():  # action never fired (or is still running)
+            return content_fingerprint(fallback_df if fallback_df is not None else df)
+        return _fp_format(got)
+
+    return observed, resolver
 
 
 class CheckpointManager:
@@ -136,9 +179,14 @@ class CheckpointManager:
 
         t0 = time.time()
         df = build()
-        df.write.mode("overwrite").parquet(data_path)
+        # fingerprint piggybacks on the write action (observation) —
+        # the stage data used to be fully re-scanned post-write just to
+        # hash it; the observed metrics are computed over the exact rows
+        # the write streamed out, so the manifest content is unchanged.
+        observed, fp_resolve = fingerprint_observation(df)
+        observed.write.mode("overwrite").parquet(data_path)
         out = self.spark.read.parquet(data_path)
-        rows, fingerprint = content_fingerprint(out)
+        rows, fingerprint = fp_resolve(fallback_df=out)
         man: dict = {
             "stage": name,
             "token": token,

@@ -183,9 +183,13 @@ def matched_from_zeta(
     pipeline, the incremental linker, state compaction, and the
     two-table link_records path (divergence between them silently
     splits/merges clusters differently per path): null-safe broadcast
-    zeta join + FS threshold, then the deterministic-fields exact-match
-    pass accepted regardless of zeta, duplicates resolved to max(zeta)
-    for a byte-stable pair list. Pass a cfg (dedupe pipeline) or the
+    zeta join + FS threshold, with the deterministic-fields exact-match
+    pass accepted regardless of zeta (deterministic verdict wins: such
+    a pair carries zeta 1.0, the max of both branches). Input pairs are
+    unique per (id_a, id_b) — every producer dedupes on that key — so
+    one projected pass emits the same byte-stable pair list the old
+    two-branch union+groupBy(max) shape did, minus one full scan of the
+    pair stream and one exchange. Pass a cfg (dedupe pipeline) or the
     explicit threshold/deterministic_fields knobs (two-table mode)."""
     thr = cfg.threshold if cfg is not None else threshold
     det_fields = (
@@ -195,30 +199,42 @@ def matched_from_zeta(
     for c in gcols:
         eq = scored[c].eqNullSafe(zeta_df[c])
         cond = eq if cond is None else (cond & eq)
-    fs = (
-        scored.join(F.broadcast(zeta_df), cond, "inner")
-        .where(F.col("zeta") >= thr)
-        .select(id_a, id_b, "zeta")
-    )
-    if det_fields:
-        det_cond = None
-        for f in det_fields:
-            eq = (
-                F.col(f"a_{f}").isNotNull()
-                & F.col(f"b_{f}").isNotNull()
-                & (F.col(f"a_{f}") == F.col(f"b_{f}"))
-            )
-            det_cond = eq if det_cond is None else (det_cond & eq)
-        det = scored.where(det_cond).select(id_a, id_b, F.lit(1.0).alias("zeta"))
-        # max(zeta), not dropDuplicates: a pair passing BOTH the FS
-        # threshold and the deterministic pass must resolve to the
-        # same zeta every run (byte-stable matched_pairs output).
-        fs = (
-            fs.unionByName(det)
-            .groupBy(id_a, id_b)
-            .agg(F.max("zeta").alias("zeta"))
+    if not det_fields:
+        return (
+            scored.join(F.broadcast(zeta_df), cond, "inner")
+            .where(F.col("zeta") >= thr)
+            .select(id_a, id_b, "zeta")
         )
-    return fs
+    # ONE pass over the pair stream (r8 optimization — guide §2.3/§2.4):
+    # the old shape scanned `scored` twice (FS branch + deterministic
+    # branch) and paid a union + groupBy(max) exchange to merge them.
+    # Candidate pairs are unique per (id_a, id_b) — every producer
+    # (candidate_pairs / candidate_pairs_two, dedupe_pairs=True) dedupes
+    # on exactly that key — so the merge never collapses anything except
+    # the pair-in-both-branches case, which a single projected
+    # when(det, 1.0).otherwise(zeta) resolves identically (zeta <= 1.0,
+    # so max(zeta, 1.0) == 1.0 == the deterministic verdict). LEFT join
+    # keeps the old inner+union semantics for a pattern absent from
+    # zeta_df (impossible when zeta_df covers the observed patterns, as
+    # every caller's does): such a pair survives iff deterministic.
+    det_cond = None
+    for f in det_fields:
+        eq = (
+            F.col(f"a_{f}").isNotNull()
+            & F.col(f"b_{f}").isNotNull()
+            & (F.col(f"a_{f}") == F.col(f"b_{f}"))
+        )
+        det_cond = eq if det_cond is None else (det_cond & eq)
+    det_flag = F.coalesce(det_cond, F.lit(False))
+    return (
+        scored.join(F.broadcast(zeta_df), cond, "left")
+        .where((F.col("zeta") >= thr) | det_flag)
+        .select(
+            id_a,
+            id_b,
+            F.when(det_flag, F.lit(1.0)).otherwise(F.col("zeta")).alias("zeta"),
+        )
+    )
 
 
 def _blocked_records(records: DataFrame, cfg: LinkageConfig) -> DataFrame:
@@ -306,16 +322,30 @@ def link_dedupe(
     _arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     _arrow_prev = spark.conf.get(_arrow_key, "10000")
     spark.conf.set(_arrow_key, "50000")
+    gcols = [f"gamma_{f.name}" for f in fields]
+    # checkpoint only what downstream reads (r8, guide §2.3/§6): the
+    # pattern fit consumes gamma_*, matched_from_zeta consumes the ids,
+    # gamma_* and the deterministic fields — the remaining a_/b_
+    # comparison attrs (title, text_hash, ... on the default spec) are
+    # dead after the gamma ladder, and the pairs_gamma stage is the
+    # pipeline's LARGEST table: writing, fingerprinting and re-reading
+    # those columns was pure overhead (~40% of the stage's bytes at the
+    # default field spec).
+    keep_cols = list(
+        dict.fromkeys(
+            ["a_rec_id", "b_rec_id"]
+            + [c for f in cfg.deterministic_fields for c in (f"a_{f}", f"b_{f}")]
+            + gcols
+        )
+    )
     try:
         scored = ckpt.stage(
             "pairs_gamma",
-            lambda: gammas.with_gammas(gamma_src, fields),
+            lambda: gammas.with_gammas(gamma_src, fields).select(*keep_cols),
             inputs=("candidate_pairs",),
         )
     finally:
         spark.conf.set(_arrow_key, _arrow_prev)
-
-    gcols = [f"gamma_{f.name}" for f in fields]
     # ONE predicate decides both whether sampling happens and whether
     # the fit gets sample-mode regularization below (ADVICE r4:
     # sample_fraction=1.0 used to skip the sample yet still perturb the
