@@ -195,6 +195,57 @@ def sec_obs(spark):
         print(f"  obs[{mode}]: {'NOT-FIRED' if th.is_alive() else got}", file=sys.stderr)
 
 
+def sec_ngram(spark):
+    """q10 decomposition: gram construction vs join+intersect verify."""
+    from fastlink_spark.operators.dedup import ngram_jaccard_pairs
+    import __spark_entry__ as entry
+
+    docs = entry._docs(spark, SF)
+    pairs = _t(
+        "ngram_pairs_materialize",
+        lambda: entry._doc_pairs_by_source(spark, SF, force_salting=False)
+        .select(F.col("a_rec_id").alias("id_a"), F.col("b_rec_id").alias("id_b"))
+        .localCheckpoint(eager=True),
+    )
+    from fastlink_spark.functions.textmeta import tokens
+
+    toks = tokens(F.col("__t"))
+    gram_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(3), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), F.lit(3))),
+        )
+    )
+    grams = _t(
+        "ngram_grams_materialize",
+        lambda: docs.select(F.col("doc_id").alias("id"), F.col("text").alias("__t"))
+        .repartition(CPUS)
+        .select(
+            "id",
+            F.when(F.size(toks) > 0, gram_arr)
+            .otherwise(F.array().cast("array<string>"))
+            .alias("grams"),
+        )
+        .localCheckpoint(eager=True),
+    )
+    ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    joined = (
+        pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("grams_a", "grams_b")).cast("long"))
+        .withColumn(
+            "n_union",
+            (F.size("grams_a") + F.size("grams_b") - F.col("n_inter")).cast("long"),
+        )
+    )
+    _t("ngram_join_intersect_noop", lambda: _noop(joined.select("id_a", "id_b", "n_inter", "n_union")))
+    _t(
+        "ngram_full_op_noop",
+        lambda: _noop(ngram_jaccard_pairs(pairs, docs, "doc_id", "text", n=3)),
+    )
+
+
 def sec_plans(spark):
     """Dump explain('formatted') for the hot queries to plans/r08/."""
     import __spark_entry__ as entry
@@ -239,6 +290,7 @@ def sec_plans(spark):
 
 
 SECTIONS = {
+    "ngram": sec_ngram,
     "q30": sec_q30,
     "e2e": sec_e2e,
     "cc": sec_cc,

@@ -299,11 +299,19 @@ def jaro_winkler_series(
         uc, inverse = np.unique(combo, return_inverse=True)
         pa = (uc // len(ub)).astype(np.int64)
         pb = (uc % len(ub)).astype(np.int64)
-        sims = jaro_winkler_np(
-            ua.to_numpy(dtype=object)[pa] if hasattr(ua, "to_numpy") else np.asarray(ua, dtype=object)[pa],
-            ub.to_numpy(dtype=object)[pb] if hasattr(ub, "to_numpy") else np.asarray(ub, dtype=object)[pb],
-            winkler=winkler,
-            max_len=max_len,
-        )
+        sa = ua.to_numpy(dtype=object)[pa] if hasattr(ua, "to_numpy") else np.asarray(ua, dtype=object)[pa]
+        sb = ub.to_numpy(dtype=object)[pb] if hasattr(ub, "to_numpy") else np.asarray(ub, dtype=object)[pb]
+        # exact-equality fast path (r8): JW(s, s) == 1.0 exactly in this
+        # kernel for every s (full-window matches, t=0, prefix bonus
+        # multiplies (1-jaro)=0), and candidate pairs agree exactly on
+        # normalized fields a lot (same-url duplicate variants), so the
+        # O(L^2)/bit-parallel scan runs only on the non-equal uniques.
+        # One vectorized object compare per unique pair; bit-identical
+        # outputs (q29's literal oracle pins them).
+        eq = sa == sb
+        sims = np.ones(len(uc), dtype=np.float64)
+        ne = ~eq
+        if ne.any():
+            sims[ne] = jaro_winkler_np(sa[ne], sb[ne], winkler=winkler, max_len=max_len)
         out[valid] = sims[inverse]
     return pd.Series(out)

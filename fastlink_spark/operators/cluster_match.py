@@ -325,17 +325,16 @@ def fit_kmeans(
             # distributed passes; the pool oversamples 4x so the
             # driver-side refinement has room when top ranks cluster
             batch = min(k - len(cents), max(1, len(cents)))
-            # the seeding statistic follows the same codegen/pandas
-            # switch as assignment; bit-equal distances mean the seed
-            # trajectory is independent of where the switch lands
-            if len(cents) * N_DIMS * 2 > CODEGEN_MAX_TERMS:
-                d_col = _pandas_min_dist(cents)(F.col(vec_col))
-            else:
-                mn = F.array_min(F.array(*[_dist(vec_col, c) for c in cents]))
-                # NaN -> null so a NaN-element row can never win the
-                # farthest-first orderBy (desc puts NaN above every
-                # real distance) — and so both paths stay bit-equal
-                d_col = F.when(~F.isnan(mn), mn)
+            # the seeding statistic always rides the pandas path (r8,
+            # same rationale as the Lloyd rounds: the codegen form
+            # embeds the committed seeds as literals, so EVERY
+            # distributed pass paid a fresh janino compile growing with
+            # the seed count). Bit-equal distances by construction
+            # (_np_dists left-associated order; NaN/null-element rows
+            # come back NULL, so they can never win the farthest-first
+            # orderBy — identical to the old NaN guard), hence an
+            # identical seed trajectory.
+            d_col = _pandas_min_dist(cents)(F.col(vec_col))
             # NOTE: no .where(_d > 0) here — a Filter between the
             # Project and the Sort lets Catalyst substitute the full
             # distance expression (which inlines the 27 regexp letter
@@ -464,8 +463,14 @@ def cluster_match(
     expressions over the table per job (n_iter+2 jobs)."""
     feats = resolve(materializer)(letter_features(df, col), "km_features")
     cents = fit_kmeans(feats, k, id_col=id_col, n_iter=n_iter, init=init)
+    # final assignment via the broadcast-centroid pandas path (r8):
+    # bit-identical to assign_clusters' codegen expression (the pinned
+    # path-equality invariant) without the one-shot janino compile of a
+    # k*27*3-term literal expression (~3 s constant per call).
+    # assign_clusters keeps its documented size switch for callers that
+    # want the codegen expression form.
     return (
-        assign_clusters(feats, cents)
+        feats.withColumn("cluster", _pandas_assign(cents)(F.col("lf_vec")))
         .withColumn("block_key", F.concat(F.lit(key_prefix), F.col("cluster")))
         .drop("lf_vec")
     )
@@ -510,8 +515,9 @@ def cluster_match_two(
     cents = fit_kmeans(both, k, id_col=id_col, weight_col="_w", n_iter=n_iter, init=init)
 
     def _finish(feats: DataFrame) -> DataFrame:
+        # pandas-path final assignment — same rationale as cluster_match
         return (
-            assign_clusters(feats, cents)
+            feats.withColumn("cluster", _pandas_assign(cents)(F.col("lf_vec")))
             .withColumn("block_key", F.concat(F.lit(key_prefix), F.col("cluster")))
             .drop("lf_vec", "_w")
         )

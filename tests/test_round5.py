@@ -514,15 +514,20 @@ def test_checkpoint_stale_manifest_removed_on_rebuild(spark, tmp_path, monkeypat
     # config B rebuild crashes after the data overwrite, before the
     # manifest write (content_fingerprint poisoned)
     m_b = cp.CheckpointManager(spark, ck, config_token="B")
-    real_fp = cp.content_fingerprint
+    real_fmt = cp._fp_format
+    # r8: the happy-path fingerprint rides the write as an Observation;
+    # _fp_format is the shared choke point both the observation resolver
+    # and the standalone-scan fallback pass through, so poisoning it
+    # still models "crash after the data overwrite, before the manifest
+    # write" for the current mechanism.
     monkeypatch.setattr(
         cp,
-        "content_fingerprint",
-        lambda df: (_ for _ in ()).throw(RuntimeError("injected crash")),
+        "_fp_format",
+        lambda row: (_ for _ in ()).throw(RuntimeError("injected crash")),
     )
     with pytest.raises(RuntimeError, match="injected"):
         m_b.stage("s", lambda: spark.range(5).withColumn("cfg", F.lit("B")))
-    monkeypatch.setattr(cp, "content_fingerprint", real_fp)
+    monkeypatch.setattr(cp, "_fp_format", real_fmt)
     assert not os.path.exists(os.path.join(ck, "s.manifest.json"))
 
     # back under config A: must REBUILD (content is B's on disk), not
