@@ -194,3 +194,61 @@ def test_jw_equality_fast_path_bit_identical():
     eq_frac = float((a == b).mean())
     assert eq_frac > 0.3  # the shortcut is actually exercised
     assert np.array_equal(got, ref)
+
+
+# ------------------- two-table S x T grid skew stress (r7 verdict #5)
+
+def test_two_table_skew_stress_one_hot_block(spark):
+    """Mirror of r7's self-join one-hot-block stress for
+    candidate_pairs_two: ONE block key owns 30% of BOTH sides. The
+    S x T grid must (a) emit exactly sum(na*nb) pairs and (b) bound
+    every reduce cell — recomputed from the plan's own salt assignment
+    (A: i = pmod(xxhash64(id), S), B: j = pmod(xxhash64(id), T)) — to
+    2x target^2 comparisons, vs the na*nb = 7.2M a one-sided or
+    unsalted plan would put in a single task."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from fastlink_spark.operators.pairs import candidate_pairs_two
+
+    n_a, n_b, hot_a, hot_b, target = 10_000, 8_000, 3_000, 2_400, 500
+    dfa = spark.range(n_a).select(
+        F.col("id").alias("rec_id"),
+        F.when(F.col("id") < hot_a, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 700).cast("string")))
+        .alias("block_key"),
+    )
+    dfb = spark.range(n_b).select(
+        (F.col("id") + 1_000_000).alias("rec_id"),
+        F.when(F.col("id") < hot_b, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 350).cast("string")))
+        .alias("block_key"),
+    )
+    pairs = candidate_pairs_two(
+        dfa, dfb, skew_threshold=1_000, target_block=target, dedupe_pairs=False
+    )
+    na = {r["block_key"]: r["n"] for r in dfa.groupBy("block_key").agg(F.count("*").alias("n")).collect()}
+    nb = {r["block_key"]: r["n"] for r in dfb.groupBy("block_key").agg(F.count("*").alias("n")).collect()}
+    expected = sum(n * nb[k] for k, n in na.items() if k in nb)
+    assert pairs.count() == expected
+    # per-cell bound from the plan's own S x T salt assignment
+    s_cnt = math.ceil(hot_a / target)
+    t_cnt = math.ceil(hot_b / target)
+    per_i = {
+        r["s"]: r["n"]
+        for r in dfa.where(F.col("block_key") == "hot")
+        .select(F.pmod(F.xxhash64("rec_id"), F.lit(s_cnt)).alias("s"))
+        .groupBy("s").agg(F.count("*").alias("n")).collect()
+    }
+    per_j = {
+        r["s"]: r["n"]
+        for r in dfb.where(F.col("block_key") == "hot")
+        .select(F.pmod(F.xxhash64("rec_id"), F.lit(t_cnt)).alias("s"))
+        .groupBy("s").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(per_i.values()) == hot_a and sum(per_j.values()) == hot_b
+    max_cell = max(per_i.values()) * max(per_j.values())
+    assert max_cell <= 2 * target * target, f"cell load {max_cell} breaks the bound"
+    # and the single-task disaster the grid prevents, for the record
+    assert hot_a * hot_b > 10 * 2 * target * target
